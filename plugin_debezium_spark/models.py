@@ -1,0 +1,83 @@
+"""Envelope data model (SURVEY.md §1).
+
+Mirrors the reference's change-event model — Envelope{op, ts_ms,
+before, after, transaction} + Message.Source{db, table, snapshot,
+connector} + Key (reference: plugin-debezium/src/main/java/io/kestra/
+plugin/debezium/models/Envelope.java:19-57, models/Message.java:40-67)
+— re-expressed as a fixed Spark StructType over the target base table
+``(repo, path, commit, lang, content)`` from BASELINE.json input_hint.
+
+The reference carries schema per-record (Kafka Connect); we carry the
+payload as a JSON string (the exact shape MongoDB envelopes arrive in,
+reference CustomParameterDeserializer.java:14-20) and decode it with a
+vectorized Arrow UDF or native from_json — that keeps the log schema
+fixed while the *payload* schema can evolve mid-log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Operation codes — reference Envelope.java:39-46 via
+# io.debezium.data.Envelope.Operation.
+OP_CREATE = "c"
+OP_UPDATE = "u"
+OP_DELETE = "d"
+OP_READ = "r"  # snapshot read
+OP_TRUNCATE = "t"
+DATA_OPS = (OP_CREATE, OP_UPDATE, OP_DELETE, OP_READ)
+
+# Base table schema v1 (input_hint). Evolution fixtures add
+# size_bytes (v2 int, v3 long) — see plans/evolve.py.
+BASE_FIELDS_V1 = [
+    ("repo", T.StringType()),
+    ("path", T.StringType()),
+    ("commit", T.StringType()),
+    ("lang", T.StringType()),
+    ("content", T.StringType()),
+]
+
+KEY_COLS = ("repo", "path", "commit")
+
+
+def base_schema(extra: list[tuple[str, T.DataType]] | None = None) -> T.StructType:
+    fields = [T.StructField(n, t, True) for n, t in BASE_FIELDS_V1]
+    for n, t in extra or []:
+        fields.append(T.StructField(n, t, True))
+    return T.StructType(fields)
+
+
+def key_schema() -> T.StructType:
+    return T.StructType([T.StructField(c, T.StringType(), True) for c in KEY_COLS])
+
+
+SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("db", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("snapshot", T.StringType(), True),
+        T.StructField("connector", T.StringType(), True),
+    ]
+)
+
+
+def envelope_log_schema() -> T.StructType:
+    """Schema of the persisted change log (one parquet dataset,
+    partitioned by lsn_bucket, ordered by lsn).
+
+    before/after are JSON strings so the log schema never changes even
+    when the payload schema evolves (FIXTURES.md §2 v2/v3/v4).
+    """
+    return T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("ts_ms", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("key", key_schema(), False),
+            T.StructField("before_json", T.StringType(), True),
+            T.StructField("after_json", T.StringType(), True),
+            T.StructField("source", SOURCE_SCHEMA, True),
+            T.StructField("epoch_hint", T.LongType(), True),
+            T.StructField("lsn_bucket", T.LongType(), False),
+        ]
+    )

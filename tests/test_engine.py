@@ -1,0 +1,149 @@
+"""End-to-end replay correctness (mirrors the reference's e2e capture
+tests: seed → capture → assert counts/values → re-run returns 0 —
+mysql/CaptureTest.java:56-100, AtomicStateTest.java:109-134)."""
+
+import os
+
+import pytest
+
+from plugin_debezium_spark.plans.lake import LakeTable
+from plugin_debezium_spark.sources.genlog import LogSpec, write_log
+from plugin_debezium_spark.streaming.engine import EngineConfig, run
+from tests.golden import golden_key_hashes, read_log_pandas
+
+SPEC = LogSpec(n_events=4_000, n_keys=600, n_snapshot=400, epoch_size=1_000)
+
+
+@pytest.fixture(scope="module")
+def log_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("log"))
+    write_log(spark, d, SPEC)
+    return d
+
+
+def _final_hashes(spark, table_dir):
+    t = LakeTable(spark, table_dir)
+    rows = t.read().select("repo", "path", "commit", "content_sha256").collect()
+    return {(r[0], r[1], r[2], r[3]) for r in rows}
+
+
+def test_replay_matches_golden(spark, log_dir, tmp_path):
+    table_dir = str(tmp_path / "tbl")
+    cfg = EngineConfig(
+        log_dir=log_dir, table_dir=table_dir, max_events_per_batch=1_000
+    )
+    out = run(spark, cfg)
+    assert out["batches_applied"] >= 3
+    golden = golden_key_hashes(read_log_pandas(log_dir))
+    assert _final_hashes(spark, table_dir) == golden
+
+
+def test_rerun_is_noop(spark, log_dir, tmp_path):
+    """Exactly-once observable: re-running applied offsets yields no
+    new batches and identical state (reference CaptureTest.java:97-99)."""
+    table_dir = str(tmp_path / "tbl")
+    cfg = EngineConfig(
+        log_dir=log_dir, table_dir=table_dir, max_events_per_batch=1_000
+    )
+    run(spark, cfg)
+    snap_before = LakeTable(spark, table_dir).current().snapshot_id
+    out2 = run(spark, cfg)
+    assert out2["batches_applied"] == 0
+    assert LakeTable(spark, table_dir).current().snapshot_id == snap_before
+
+
+def test_resume_mid_stream(spark, log_dir, tmp_path):
+    """Kill after 2 batches, restart from checkpoint → same final
+    state as an uninterrupted run."""
+    table_dir = str(tmp_path / "tbl")
+    cfg = EngineConfig(
+        log_dir=log_dir, table_dir=table_dir, max_events_per_batch=1_000
+    )
+    first = run(
+        spark,
+        EngineConfig(
+            log_dir=log_dir,
+            table_dir=table_dir,
+            max_events_per_batch=1_000,
+            max_batches=2,
+        ),
+    )
+    assert first["batches_applied"] == 2
+    run(spark, cfg)  # resume to end
+    golden = golden_key_hashes(read_log_pandas(log_dir))
+    assert _final_hashes(spark, table_dir) == golden
+
+
+def test_schema_evolution_added_and_widened(spark, log_dir, tmp_path):
+    """size_bytes appears mid-log (v2) and exceeds int32 later (v3);
+    lang enum grows (v4) — final schema has size_bytes:long and rust
+    rows exist."""
+    table_dir = str(tmp_path / "tbl")
+    run(
+        spark,
+        EngineConfig(
+            log_dir=log_dir, table_dir=table_dir, max_events_per_batch=1_000
+        ),
+    )
+    t = LakeTable(spark, table_dir)
+    schema = {f.name: f.dataType.simpleString() for f in t.current().schema().fields}
+    assert schema.get("size_bytes") == "bigint"
+    df = t.read()
+    assert df.filter(df.lang == "rust").count() > 0
+    assert df.filter(df.size_bytes > 2_147_483_647).count() > 0
+
+
+def test_arrow_decode_path_matches_native(spark, log_dir, tmp_path):
+    a = str(tmp_path / "ta")
+    b = str(tmp_path / "tb")
+    run(
+        spark,
+        EngineConfig(
+            log_dir=log_dir,
+            table_dir=a,
+            max_events_per_batch=2_000,
+            decode_mode="native",
+            sha_mode="native",
+        ),
+    )
+    run(
+        spark,
+        EngineConfig(
+            log_dir=log_dir,
+            table_dir=b,
+            max_events_per_batch=2_000,
+            decode_mode="arrow",
+            sha_mode="arrow",
+        ),
+    )
+    assert _final_hashes(spark, a) == _final_hashes(spark, b)
+
+
+def test_salted_dedupe_matches(spark, log_dir, tmp_path):
+    table_dir = str(tmp_path / "tbl")
+    run(
+        spark,
+        EngineConfig(
+            log_dir=log_dir,
+            table_dir=table_dir,
+            max_events_per_batch=1_000,
+            n_salts=8,
+        ),
+    )
+    golden = golden_key_hashes(read_log_pandas(log_dir))
+    assert _final_hashes(spark, table_dir) == golden
+
+
+def test_metrics_lineage_written(spark, log_dir, tmp_path):
+    table_dir = str(tmp_path / "tbl")
+    run(
+        spark,
+        EngineConfig(
+            log_dir=log_dir, table_dir=table_dir, max_events_per_batch=1_000
+        ),
+    )
+    lineage = spark.read.parquet(
+        os.path.join(table_dir, "metrics", "lineage", "epoch=0")
+    )
+    assert lineage.count() > 0
+    assert {"op", "n_events", "lsn_lo", "lsn_hi"}.issubset(set(lineage.columns))
