@@ -65,8 +65,15 @@ def _infer_type(v) -> T.DataType:
 
 
 _WIDEN = {
-    ("long", "double"): T.DoubleType(),
-    ("double", "long"): T.DoubleType(),
+    # simpleString names: tinyint/smallint/int/bigint/float/double
+    ("bigint", "double"): T.DoubleType(),
+    ("double", "bigint"): T.DoubleType(),
+    ("int", "bigint"): T.LongType(),
+    ("bigint", "int"): T.LongType(),
+    ("int", "double"): T.DoubleType(),
+    ("double", "int"): T.DoubleType(),
+    ("float", "double"): T.DoubleType(),
+    ("double", "float"): T.DoubleType(),
 }
 
 
@@ -114,15 +121,36 @@ def infer_payload_schema(
                     "shape"
                 )
             )
-            .agg(F.max_by(F.col(c), F.col("lsn")).alias("sample"))
+            # two samples per shape: a field that's null in one may be
+            # typed in the other
+            .agg(
+                F.max_by(F.col(c), F.col("lsn")).alias("s1"),
+                F.min_by(F.col(c), F.col("lsn")).alias("s2"),
+            )
             .collect()
         )
         for row in shapes:
-            merged = merge_types(merged, _infer_type(json.loads(row["sample"])))
+            for s in (row["s1"], row["s2"]):
+                merged = merge_types(merged, _infer_type(json.loads(s)))
     if isinstance(merged, T.NullType):
         return base or T.StructType([])
     assert isinstance(merged, T.StructType)
-    return merged
+    return _denull(merged)
+
+
+def _denull(dt: T.DataType) -> T.DataType:
+    """Fields whose sampled values were all null decode as string (a
+    typed value in a later batch then merges via the widening lattice's
+    string fallback — safe, never lossy)."""
+    if isinstance(dt, T.NullType):
+        return T.StringType()
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _denull(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_denull(dt.elementType), True)
+    return dt
 
 
 # ---------------------------------------------------------------------------
@@ -156,7 +184,10 @@ def decode_arrow(col: str, schema: T.StructType) -> Column:
             }
         )
 
-    return _decode(F.col(col))
+    # match from_json semantics: null input -> null struct (the UDF can
+    # only emit a struct of nulls, not a null struct)
+    c = F.col(col)
+    return F.when(c.isNull(), F.lit(None).cast(schema)).otherwise(_decode(c))
 
 
 def decode_envelope(

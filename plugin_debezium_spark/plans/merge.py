@@ -73,7 +73,12 @@ def merge_batch(
         target.join(batch.select(*key_cols), on=key_cols, how="left_anti")
         .withColumn("_bucket", bucket_expr(key_cols, nb))
     )
-    result = survivors.unionByName(upserts)
+    # One shuffle keyed on the bucket so each task writes whole bucket
+    # files: without this, partitionBy fans out tasks×buckets tiny
+    # files and every later epoch pays the listing/open cost.
+    result = survivors.unionByName(upserts).repartition(
+        max(len(touched), 1), F.col("_bucket")
+    )
 
     new_files = table.write_bucket_data(result, prev.snapshot_id + 1)
     snap = table.commit(

@@ -1,0 +1,401 @@
+"""Driver-facing query catalog (backs __spark_entry__.py).
+
+Each query takes (spark, sf_dir) and returns a DataFrame; oracle_sql()
+holds the DuckDB-equivalent ANSI SQL over the same parquet tables.
+Spark and SQL sides are written against the SAME derivation rules so
+the driver's order-insensitive value-hash matches.
+
+CDC queries derive a deterministic envelope log from the driver's
+``events`` table (event_id = LSN; op from event_type; entity key from
+(user_id, event_id)) so correctness of every SURVEY.md §2 operator is
+checkable against a pure-SQL oracle without bundling fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Shared envelope derivation (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def envelopes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → Debezium-style envelope rows (flattened key/payload)."""
+    ev = _events(spark, sf_dir)
+    ent = (F.col("user_id") * 20 + F.pmod(F.col("event_id"), 20)).alias("ent")
+    df = ev.select("event_id", "event_type", "props", "value", ent)
+    return df.select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_id").alias("ts_ms"),
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .when(F.col("event_type") == "signup", F.lit("c"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.concat(F.lit("org"), F.pmod(F.col("ent"), F.lit(7)).cast("string")).alias(
+            "repo"
+        ),
+        F.concat(F.lit("f"), F.col("ent").cast("string")).alias("path"),
+        F.concat(F.lit("c"), F.pmod(F.col("ent"), F.lit(97)).cast("string")).alias(
+            "commit"
+        ),
+        F.element_at(
+            F.array(F.lit("python"), F.lit("java"), F.lit("go"), F.lit("ts")),
+            (F.pmod(F.col("ent"), F.lit(4)) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(F.col("event_type"), F.lit(":"), F.col("props")).alias("content"),
+    )
+
+
+# SQL twin of envelopes_from_events (DuckDB dialect, ANSI-compatible)
+ENV_SQL = """
+ev AS (
+  SELECT event_id, event_type, props,
+         (user_id * 20 + event_id % 20) AS ent
+  FROM events
+),
+env AS (
+  SELECT event_id AS lsn,
+         event_id AS ts_ms,
+         CASE WHEN event_type = 'error' THEN 'd'
+              WHEN event_type = 'signup' THEN 'c'
+              ELSE 'u' END AS op,
+         'org' || CAST(ent % 7 AS VARCHAR) AS repo,
+         'f' || CAST(ent AS VARCHAR) AS path,
+         'c' || CAST(ent % 97 AS VARCHAR) AS commit,
+         CASE CAST(ent % 4 AS INT)
+              WHEN 0 THEN 'python' WHEN 1 THEN 'java'
+              WHEN 2 THEN 'go' ELSE 'ts' END AS lang,
+         event_type || ':' || props AS content
+  FROM ev
+)
+"""
+
+FINAL_STATE_SQL = f"""
+WITH {ENV_SQL},
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path, commit ORDER BY lsn DESC) AS rn
+  FROM env
+)
+SELECT repo, path, commit, lang, content,
+       sha256(content) AS content_sha256,
+       lsn AS last_lsn
+FROM latest WHERE rn = 1 AND op <> 'd'
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC queries (SURVEY.md §2 operators)
+# ---------------------------------------------------------------------------
+
+
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 LWW dedupe + delete policy: pure-DataFrame final state (the
+    same plan the engine runs inside one micro-batch)."""
+    from plugin_debezium_spark.operators.dedupe import latest_by_key
+
+    env = envelopes_from_events(spark, sf_dir)
+    latest = latest_by_key(env, ("repo", "path", "commit"))
+    return latest.filter(F.col("op") != "d").select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.sha2("content", 256).alias("content_sha256"),
+        F.col("lsn").alias("last_lsn"),
+    )
+
+
+def cdc_final_state_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 + R1: identical semantics via the explicit two-phase salted
+    reduce (skew path). Same oracle as cdc_final_state."""
+    from plugin_debezium_spark.operators.dedupe import latest_by_key
+
+    env = envelopes_from_events(spark, sf_dir)
+    latest = latest_by_key(env, ("repo", "path", "commit"), n_salts=8)
+    return latest.filter(F.col("op") != "d").select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.sha2("content", 256).alias("content_sha256"),
+        F.col("lsn").alias("last_lsn"),
+    )
+
+
+def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K3/L1 — the REAL engine end-to-end: envelope log written to a
+    scratch dir, replayed through decode → dedupe → MERGE over multiple
+    epochs into the snapshot-atomic lake table; returns final state."""
+    import tempfile
+
+    from plugin_debezium_spark.plans.lake import LakeTable
+    from plugin_debezium_spark.streaming.engine import EngineConfig, run
+
+    env = envelopes_from_events(spark, sf_dir)
+    log = env.select(
+        "lsn",
+        "ts_ms",
+        "op",
+        F.struct("repo", "path", "commit").alias("key"),
+        F.lit(None).cast("string").alias("before_json"),
+        F.when(F.col("op") == "d", F.lit(None).cast("string"))
+        .otherwise(
+            F.to_json(F.struct("repo", "path", "commit", "lang", "content"))
+        )
+        .alias("after_json"),
+        F.struct(
+            F.lit("kestra").alias("db"),
+            F.lit("repofiles").alias("table"),
+            F.lit("false").alias("snapshot"),
+            F.lit("events").alias("connector"),
+        ).alias("source"),
+        F.lit(0).cast("long").alias("epoch_hint"),
+        (F.col("lsn") / 2500).cast("long").alias("lsn_bucket"),
+    )
+    d = tempfile.mkdtemp(prefix="cdc_replay_")
+    log.write.mode("overwrite").partitionBy("lsn_bucket").parquet(f"{d}/log")
+    cfg = EngineConfig(
+        log_dir=f"{d}/log",
+        table_dir=f"{d}/tbl",
+        max_events_per_batch=2500,
+        write_metrics=False,
+    )
+    run(spark, cfg)
+    t = LakeTable(spark, f"{d}/tbl")
+    return t.read().select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        "content_sha256",
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
+def cdc_op_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3 — op filter + deleted DROP policy, counts by op."""
+    from plugin_debezium_spark.operators.filters import (
+        Deleted,
+        apply_deleted_policy,
+        drop_ddl,
+    )
+
+    env = envelopes_from_events(spark, sf_dir)
+    df = apply_deleted_policy(drop_ddl(env), Deleted.DROP)
+    return df.groupBy("op").agg(F.count("*").alias("n")).orderBy("op")
+
+
+def cdc_add_deleted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — deleted flag counts (mirrors the reference's Mongo e2e
+    assertions on deleted/non-deleted splits, CaptureTest.java:39-80)."""
+    env = envelopes_from_events(spark, sf_dir)
+    flagged = env.withColumn("deleted", F.col("op").isin("d", "t"))
+    return flagged.groupBy("deleted").agg(F.count("*").alias("n")).orderBy(
+        "deleted"
+    )
+
+
+def cdc_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/A1 — splitTable TABLE routing + per-stream counters."""
+    env = envelopes_from_events(spark, sf_dir).withColumn(
+        "source",
+        F.struct(
+            # db derived from the repo's trailing digit (hash functions
+            # differ across engines; arithmetic derivations don't)
+            F.concat(
+                F.lit("db"),
+                F.pmod(F.substring("repo", 4, 1).cast("int"), F.lit(3)).cast(
+                    "string"
+                ),
+            ).alias("db"),
+            F.col("lang").alias("table"),
+            F.lit("false").alias("snapshot"),
+            F.lit("x").alias("connector"),
+        ),
+    )
+    from plugin_debezium_spark.operators.metrics import stream_counts
+
+    return stream_counts(env)
+
+
+def cdc_inline_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P5 — INLINE flatten: DELETE takes the before image."""
+    env = envelopes_from_events(spark, sf_dir)
+    enveloped = env.select(
+        "lsn",
+        "ts_ms",
+        "op",
+        F.struct("repo", "path", "commit").alias("key"),
+        F.when(
+            F.col("op").isin("u", "d"),
+            F.struct(
+                "repo",
+                "path",
+                "commit",
+                "lang",
+                F.concat(F.lit("prev:"), F.col("content")).alias("content"),
+            ),
+        ).alias("before"),
+        F.when(
+            F.col("op") != "d",
+            F.struct("repo", "path", "commit", "lang", "content"),
+        ).alias("after"),
+        F.struct(
+            F.lit("kestra").alias("db"),
+            F.lit("repofiles").alias("table"),
+            F.lit("false").alias("snapshot"),
+            F.lit("x").alias("connector"),
+        ).alias("source"),
+    )
+    from plugin_debezium_spark.operators.shape import inline
+
+    return inline(enveloped).select(
+        "repo", "path", "commit", "lang", "content", "op", "lsn"
+    )
+
+
+def cdc_metadata_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — metadata packing (flattened for oracle comparability)."""
+    env = envelopes_from_events(spark, sf_dir).withColumn(
+        "source",
+        F.struct(
+            F.lit("kestra").alias("db"),
+            F.lit("repofiles").alias("table"),
+            F.lit("false").alias("snapshot"),
+            F.lit("x").alias("connector"),
+        ),
+    )
+    from plugin_debezium_spark.operators.shape import add_metadata
+
+    shaped = add_metadata(env)
+    return shaped.select(
+        "repo",
+        "path",
+        "commit",
+        F.col("metadata.operation").alias("operation"),
+        F.col("metadata.timestamp").alias("timestamp"),
+        F.col("metadata.lsn").alias("lsn"),
+        F.col("metadata.source.table").alias("src_table"),
+    )
+
+
+def cdc_include_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — regex include/exclude on source db/table pushed to scan."""
+    env = envelopes_from_events(spark, sf_dir).withColumn(
+        "source",
+        F.struct(
+            F.concat(
+                F.lit("db"),
+                F.pmod(F.substring("repo", 4, 1).cast("int"), F.lit(3)).cast(
+                    "string"
+                ),
+            ).alias("db"),
+            F.col("lang").alias("table"),
+            F.lit("false").alias("snapshot"),
+            F.lit("x").alias("connector"),
+        ),
+    )
+    from plugin_debezium_spark.operators.filters import include_exclude
+
+    kept = include_exclude(
+        env, table_include="^(python|go)$", table_exclude="^go$"
+    )
+    return kept.groupBy(F.col("source.table").alias("tbl")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def cdc_snapshot_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 — initial snapshot (documents as base table, op='r')
+    unioned ahead of the stream; per-op counts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    snap = docs.select(
+        F.lit("r").alias("op"),
+        F.lit(-1).cast("long").alias("lsn"),
+    )
+    env = envelopes_from_events(spark, sf_dir).select("op", "lsn")
+    return (
+        snap.unionByName(env)
+        .groupBy("op")
+        .agg(F.count("*").alias("n"), F.max("lsn").alias("max_lsn"))
+        .orderBy("op")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "cdc_final_state": FINAL_STATE_SQL,
+    "cdc_final_state_salted": FINAL_STATE_SQL,
+    "cdc_replay_final_state": FINAL_STATE_SQL,
+    "cdc_op_filter_counts": f"""
+WITH {ENV_SQL}
+SELECT op, count(*) AS n FROM env
+WHERE op IN ('c','u','r') GROUP BY op ORDER BY op
+""",
+    "cdc_add_deleted_counts": f"""
+WITH {ENV_SQL}
+SELECT (op IN ('d','t')) AS deleted, count(*) AS n
+FROM env GROUP BY 1 ORDER BY 1
+""",
+    "cdc_route_counts": f"""
+WITH {ENV_SQL}
+SELECT 'db' || CAST(CAST(substr(repo, 4, 1) AS INT) % 3 AS VARCHAR)
+       || '.' || lang AS stream,
+       count(*) AS records_count
+FROM env GROUP BY 1 ORDER BY 1
+""",
+    "cdc_inline_shape": f"""
+WITH {ENV_SQL}
+SELECT repo, path, commit,
+       CASE WHEN op = 'd' THEN lang ELSE lang END AS lang,
+       CASE WHEN op = 'd' THEN 'prev:' || content ELSE content END AS content,
+       op, lsn
+FROM env
+""",
+    "cdc_metadata_shape": f"""
+WITH {ENV_SQL}
+SELECT repo, path, commit, op AS operation, ts_ms AS timestamp, lsn,
+       'repofiles' AS src_table
+FROM env
+""",
+    "cdc_include_exclude": f"""
+WITH {ENV_SQL}
+SELECT lang AS tbl, count(*) AS n FROM env
+WHERE lang = 'python' GROUP BY 1
+""",
+    "cdc_snapshot_union": f"""
+WITH {ENV_SQL},
+uni AS (
+  SELECT 'r' AS op, CAST(-1 AS BIGINT) AS lsn FROM documents
+  UNION ALL
+  SELECT op, lsn FROM env
+)
+SELECT op, count(*) AS n, max(lsn) AS max_lsn FROM uni GROUP BY op ORDER BY op
+""",
+}
+
+QUERIES = {
+    "cdc_final_state": cdc_final_state,
+    "cdc_final_state_salted": cdc_final_state_salted,
+    "cdc_replay_final_state": cdc_replay_final_state,
+    "cdc_op_filter_counts": cdc_op_filter_counts,
+    "cdc_add_deleted_counts": cdc_add_deleted_counts,
+    "cdc_route_counts": cdc_route_counts,
+    "cdc_inline_shape": cdc_inline_shape,
+    "cdc_metadata_shape": cdc_metadata_shape,
+    "cdc_include_exclude": cdc_include_exclude,
+    "cdc_snapshot_union": cdc_snapshot_union,
+}

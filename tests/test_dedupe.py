@@ -1,0 +1,50 @@
+"""LWW dedupe equivalence: aggregate path == window path == salted
+two-phase path (SURVEY.md §2.5 A2)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from plugin_debezium_spark.operators.dedupe import dedupe_window, latest_by_key
+
+KEYS = ("repo", "path", "commit")
+
+
+def _events(spark):
+    rows = []
+    # hot key with many versions, ties on ts_ms
+    for i in range(50):
+        rows.append(("hot/r", "a.py", "c1", i, 1000 + i // 2, f"v{i}"))
+    rows.append(("cold/r", "b.py", "c2", 100, 999, "only"))
+    rows.append(("cold/r", "b.py", "c3", 101, 999, "other-commit"))
+    pdf = pd.DataFrame(
+        rows, columns=["repo", "path", "commit", "lsn", "ts_ms", "content"]
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _norm(df):
+    return sorted(
+        tuple(r)
+        for r in df.select(
+            "repo", "path", "commit", "lsn", "ts_ms", "content"
+        ).collect()
+    )
+
+
+def test_agg_equals_window(spark):
+    df = _events(spark)
+    assert _norm(latest_by_key(df, KEYS)) == _norm(dedupe_window(df, KEYS))
+
+
+def test_salted_equals_unsalted(spark):
+    df = _events(spark)
+    assert _norm(latest_by_key(df, KEYS)) == _norm(
+        latest_by_key(df, KEYS, n_salts=7)
+    )
+
+
+def test_lww_picks_max_lsn(spark):
+    out = latest_by_key(_events(spark), KEYS)
+    hot = out.filter(F.col("repo") == "hot/r").collect()
+    assert len(hot) == 1
+    assert hot[0]["lsn"] == 49 and hot[0]["content"] == "v49"

@@ -1,0 +1,123 @@
+"""Lake-table format: atomic commits, bucket pruning, mixed-schema
+reads, idempotent epochs (reference analogues: AtomicStateTest.java:
+72-255 state atomicity; CaptureTest.java:97-99 re-run==0)."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from plugin_debezium_spark.models import KEY_COLS
+from plugin_debezium_spark.plans.evolve import evolve_schema
+from plugin_debezium_spark.plans.lake import LakeTable, bucket_expr
+from plugin_debezium_spark.plans.merge import merge_batch
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _batch(spark, rows, with_op=True):
+    cols = ["repo", "path", "commit", "content"] + (["op"] if with_op else [])
+    return spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+
+
+def test_create_merge_read(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    merge_batch(
+        t,
+        _batch(spark, [("r", "a", "c1", "x", "c"), ("r", "b", "c2", "y", "c")]),
+        epoch_id=0,
+        last_lsn=10,
+    )
+    assert t.read().count() == 2
+    # upsert + delete
+    merge_batch(
+        t,
+        _batch(spark, [("r", "a", "c1", "x2", "u"), ("r", "b", "c2", None, "d")]),
+        epoch_id=1,
+        last_lsn=20,
+    )
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0]["content"] == "x2"
+    assert t.current().properties["last_lsn"] == 20
+
+
+def test_epoch_idempotence(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    b = _batch(spark, [("r", "a", "c1", "x", "c")])
+    merge_batch(t, b, epoch_id=0, last_lsn=10)
+    out = merge_batch(t, b, epoch_id=0, last_lsn=10)
+    assert out["skipped"] is True
+    assert t.current().snapshot_id == 1
+
+
+def test_bucket_pruned_read(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=8)
+    rows = [("r", f"p{i}", "c", f"v{i}", "c") for i in range(50)]
+    merge_batch(t, _batch(spark, rows), epoch_id=0, last_lsn=1)
+    full = t.read()
+    assert full.count() == 50
+    some_bucket = full.withColumn(
+        "_b", bucket_expr(KEY_COLS, 8)
+    ).select("_b").first()[0]
+    pruned = t.read(buckets=[some_bucket])
+    assert 0 < pruned.count() < 50
+
+
+def test_mixed_schema_read_and_widening(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    merge_batch(
+        t, _batch(spark, [("r", "a", "c1", "x", "c")]), epoch_id=0, last_lsn=1
+    )
+    # evolved batch: extra long column
+    b2 = spark.createDataFrame(
+        pd.DataFrame(
+            [("r", "b", "c2", "y", 3_000_000_000, "c")],
+            columns=["repo", "path", "commit", "content", "size_bytes", "op"],
+        )
+    )
+    merge_batch(t, b2, epoch_id=1, last_lsn=2)
+    df = t.read()
+    m = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert m["size_bytes"] == "bigint"
+    got = {r["path"]: r["size_bytes"] for r in df.collect()}
+    assert got == {"a": None, "b": 3_000_000_000}
+
+
+def test_crash_before_pointer_swap_is_invisible(spark, tmp_path):
+    """A snapshot file without the pointer swap must not change reads
+    (the reference refuses desynced state writes,
+    AbstractDebeziumTask.java:700-732)."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    merge_batch(
+        t, _batch(spark, [("r", "a", "c1", "x", "c")]), epoch_id=0, last_lsn=1
+    )
+    snap = t.current()
+    # simulate: crashed writer left v99 on disk but never swapped _current
+    orphan = os.path.join(t.meta_dir, "v00000099.json")
+    with open(orphan, "w") as f:
+        f.write(snap.to_json().replace('"snapshot_id": 1', '"snapshot_id": 99'))
+    assert t.current().snapshot_id == 1
+    assert t.read().count() == 1
+
+
+def test_evolve_schema_unit():
+    t1 = T.StructType([T.StructField("a", T.LongType(), True)])
+    b = T.StructType(
+        [
+            T.StructField("a", T.DoubleType(), True),
+            T.StructField("c", T.StringType(), True),
+        ]
+    )
+    out, changes = evolve_schema(t1, b)
+    assert [f.name for f in out.fields] == ["a", "c"]
+    assert out["a"].dataType == T.DoubleType()
+    assert len(changes) == 2
