@@ -194,12 +194,13 @@ def decode_envelope(
     df: DataFrame,
     schema: T.StructType,
     mode: str = "native",
+    images: tuple[str, ...] = ("before", "after"),
 ) -> DataFrame:
     """Replace before_json/after_json with typed structs ``before``/
-    ``after`` (drops the raw strings)."""
+    ``after`` (drops the raw strings). The merge path only needs the
+    after image (deletes carry their key in ``key``), so it passes
+    images=("after",) and skips half the JSON work."""
     dec = decode_native if mode == "native" else decode_arrow
-    return (
-        df.withColumn("before", dec("before_json", schema))
-        .withColumn("after", dec("after_json", schema))
-        .drop("before_json", "after_json")
-    )
+    for img in images:
+        df = df.withColumn(img, dec(f"{img}_json", schema))
+    return df.drop("before_json", "after_json")

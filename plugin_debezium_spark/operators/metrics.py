@@ -27,13 +27,15 @@ def stream_counts(df: DataFrame, split: SplitTable = SplitTable.TABLE) -> DataFr
 def epoch_lineage(df: DataFrame, epoch_id: int) -> DataFrame:
     """Lineage row per (epoch, op): counts + lsn watermark range —
     enough to audit exactly which slice of the log an epoch applied."""
+    repo = F.col("repo") if "repo" in df.columns else F.col("key.repo")
+    lsn = F.col("lsn") if "lsn" in df.columns else F.col("_lsn")
     return (
         df.groupBy("op")
         .agg(
             F.count("*").alias("n_events"),
-            F.min("lsn").alias("lsn_lo"),
-            F.max("lsn").alias("lsn_hi"),
-            F.countDistinct("key.repo").alias("n_repos"),
+            F.min(lsn).alias("lsn_lo"),
+            F.max(lsn).alias("lsn_hi"),
+            F.countDistinct(repo).alias("n_repos"),
         )
         .withColumn("epoch_id", F.lit(epoch_id))
     )

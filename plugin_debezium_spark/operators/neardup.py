@@ -1,0 +1,210 @@
+"""Deduplication suite for training-data pipelines.
+
+Beyond the reference's scope (it's a CDC tool), but first-class here:
+a 100 TB ingest lake feeds model training, and dedup is the first
+thing run on it. All operators are pure DataFrame plans (JVM-side,
+shuffle-conscious); hashes are sha256-derived so results are
+reproducible across engines (the DuckDB oracles compute the same
+formulas).
+
+Scale notes:
+- exact dedup: one hash-groupBy with map-side combine; no skew issue
+  (hashes are uniform).
+- MinHash/LSH: explode(shingles) is the big intermediate — size it by
+  stride-sampling shingles; band-bucket join emits candidate pairs
+  only, never the O(n²) cross product.
+- SimHash: explode(tokens × bits) then one aggregate; bits are
+  independent so the aggregate is fully map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^31 - 1, the classic Mersenne prime for affine minhash perms
+_P = 2147483647
+
+
+def sha_bigint(col):
+    """First 15 hex chars of sha256 → non-negative bigint (60 bits).
+    Chosen because every engine can reproduce it (vs xxhash64 seeds)."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles_expr(text_col: str, n: int = 5) -> str:
+    """SQL-text version used by both the Spark plan (F.expr) and the
+    docstringed DuckDB twin."""
+    w = f"split(trim({text_col}), '\\\\s+')"
+    return (
+        f"transform(sequence(1, greatest(size({w}) - {n - 1}, 1)), "
+        f"i -> array_join(slice({w}, i, {n}), ' '))"
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one row per distinct content hash, keeping the
+    smallest id as representative. One shuffle (hash groupBy)."""
+    return (
+        df.withColumn("text_sha256", F.sha2(F.col(text_col), 256))
+        .groupBy("text_sha256")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: h = sha_bigint(shingle) mod P, perm_j
+    = (a_j*h + b_j) mod P, sig_j = min over shingles.
+
+    Affine perms with fixed constants (deterministic, engine-neutral).
+    explode → groupBy(id) with n_perms min() aggregates: map-side
+    combine keeps the shuffle at one row per (doc, perm set).
+    """
+    sh = F.explode(F.expr(word_shingles_expr(text_col, shingle_words))).alias(
+        "shingle"
+    )
+    exploded = df.select(F.col(id_col), sh).withColumn(
+        "h", F.pmod(sha_bigint(F.col("shingle")), F.lit(_P))
+    )
+    aggs = []
+    for j in range(n_perms):
+        a = 1 + 2 * j  # odd multipliers, coprime-ish with P (P prime)
+        b = 12345 + 7 * j
+        aggs.append(
+            F.min(F.pmod(F.col("h") * a + b, F.lit(_P))).alias(f"mh{j}")
+        )
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_perms: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature, bucket-join within bands → candidate pairs
+    (id_a < id_b, with the number of matching bands). Never computes
+    the cross product: the join key is (band, bucket)."""
+    rows_per_band = n_perms // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{j}").cast("string") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.sha2(F.concat_ws(",", *cols), 256).alias("bucket"),
+            )
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = "source",
+    shingle_words: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Candidates = pairs sharing ≥1 shingle (inverted-index join on the
+    shingle — the scalable formulation), optionally restricted to the
+    same group to bound fan-out. Jaccard from |∩| and per-doc distinct
+    shingle counts: |∪| = n_a + n_b − |∩|.
+    """
+    shingles = df.select(
+        F.col(id_col),
+        *( [F.col(group_col)] if group_col else [] ),
+        F.explode_outer(
+            F.array_distinct(F.expr(word_shingles_expr(text_col, shingle_words)))
+        ).alias("shingle"),
+    )
+    counts = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if group_col:
+        cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    cb = counts.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    out = (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+) -> DataFrame:
+    """SimHash over whitespace tokens: per bit b, sum ±1 votes of each
+    token's sha-derived hash bit; simhash = Σ (vote_b > 0) << b.
+    Two explodes (tokens, bits) then one fully-combinable aggregate."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", sha_bigint(F.col("tok")))
+    bits = toks.select(
+        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("b")
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(h >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    votes = bits.groupBy(id_col, "b").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("cast(1 as bigint) << b")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )

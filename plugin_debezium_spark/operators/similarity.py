@@ -1,0 +1,153 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set,
+one pass over the corpus, per-query top-k via window. Scale path:
+random-hyperplane LSH bucketing so each query only scans its bucket
+(±multiprobe), turning a full-corpus scan into a bucket scan.
+
+Dot products run JVM-side via higher-order functions (zip_with +
+aggregate in double precision): no Python in the hot path. The
+hyperplane signature uses a vectorized pandas UDF (one numpy matmul
+per Arrow batch) — the pattern for any heavier embedding math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+NORM = "sqrt(aggregate({a}, cast(0.0 as double), (acc, v) -> acc + v * v))"
+
+
+def _dcol(name: str) -> str:
+    return f"transform({name}, v -> cast(v as double))"
+
+
+def cosine_expr(a: str, b: str) -> str:
+    da, db = _dcol(a), _dcol(b)
+    return (
+        f"{DOT.format(a=da, b=db)} / "
+        f"(({NORM.format(a=da)}) * ({NORM.format(a=db)}))"
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. queries must be small (it is
+    broadcast); the corpus is scanned once, no shuffle until the
+    per-query top-k (tiny after the filter)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cosine", F.expr(cosine_expr("qvec", "cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH signature (sign bits of V·R) as an int
+    bucket id. One numpy matmul per Arrow batch."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    @pandas_udf("long")
+    def _sig(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())  # (batch, dim)
+        bits = (m @ planes) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes)).astype("int64")
+        return pd.Series(bits @ weights)
+
+    return df.withColumn(out_col, _sig(F.col(vec_col)))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    hyperplane bucket. Recall grows with fewer planes / multiprobe;
+    cost drops ~2^n_planes-fold vs brute force. At 100 TB you'd
+    partition the corpus table by bucket so a query reads one
+    partition."""
+    cb = hyperplane_signature(corpus, dim, n_planes, vec_col=vec_col)
+    qb = hyperplane_signature(queries, dim, n_planes, vec_col=vec_col)
+    q = qb.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("bucket"),
+    )
+    c = cb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "cosine", F.expr(cosine_expr("qvec", "cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: exact
+    cosine computed only within buckets."""
+    b = hyperplane_signature(df, dim, n_planes, vec_col=vec_col)
+    a_side = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b_side = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        a_side.join(b_side, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.expr(cosine_expr("va", "vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

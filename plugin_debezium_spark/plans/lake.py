@@ -120,13 +120,21 @@ class LakeTable:
 
     # -- read --------------------------------------------------------------
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self, buckets: list[int] | None = None, include_deleted: bool = False
+    ) -> DataFrame:
         """Current table state (optionally bucket-pruned), cast to the
         current schema. Files are grouped by their written schema_id;
         each group reads with its exact schema then casts — precise
-        add-column/widening semantics with zero inference."""
+        add-column/widening semantics with zero inference.
+
+        Tables with a ``_deleted`` tombstone column (written by the
+        out-of-order-safe merge) exclude tombstones by default."""
         snap = self.current()
-        return self._read_files(snap, snap.files, buckets)
+        df = self._read_files(snap, snap.files, buckets)
+        if not include_deleted and "_deleted" in df.columns:
+            df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        return df
 
     def _read_files(
         self, snap: Snapshot, files: list[dict], buckets: list[int] | None
@@ -154,33 +162,40 @@ class LakeTable:
 
     # -- write / commit ------------------------------------------------------
 
-    def write_bucket_data(self, df: DataFrame, snapshot_id: int) -> list[dict]:
+    def write_bucket_data(
+        self, df: DataFrame, snapshot_id: int, tag: str = "d"
+    ) -> list[dict]:
         """Write df (must carry ``_bucket``) partitioned by bucket under
         data/snap-{id}; returns manifest entries. One shuffle-free
         partitioned write; file row-counts come from parquet footers
         (local metadata reads, not a data scan)."""
-        rel = f"data/snap-{snapshot_id}-{uuid.uuid4().hex[:8]}"
+        rel = f"data/snap-{snapshot_id}-{tag}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, rel)
         df.write.mode("overwrite").partitionBy("_bucket").parquet(out)
+        return self._manifest_entries(out)
+
+    def _manifest_entries(self, out: str) -> list[dict]:
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        entries = []
+        paths = []
         for root, _dirs, names in os.walk(out):
             for n in names:
-                if not n.endswith(".parquet"):
-                    continue
-                full = os.path.join(root, n)
-                bucket = int(os.path.basename(root).split("=")[1])
-                rows = pq.ParquetFile(full).metadata.num_rows
-                entries.append(
-                    {
-                        "path": os.path.relpath(full, self.path),
-                        "bucket": bucket,
-                        "schema_id": -1,  # filled by commit()
-                        "rows": rows,
-                    }
-                )
-        return entries
+                if n.endswith(".parquet"):
+                    paths.append((os.path.join(root, n), root))
+
+        def entry(p):
+            full, root = p
+            return {
+                "path": os.path.relpath(full, self.path),
+                "bucket": int(os.path.basename(root).split("=")[1]),
+                "schema_id": -1,  # filled by commit()
+                "rows": pq.ParquetFile(full).metadata.num_rows,
+            }
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            return list(ex.map(entry, paths))
 
     def commit(
         self,

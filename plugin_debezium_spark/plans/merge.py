@@ -6,19 +6,24 @@ Semantics = Iceberg's
     WHEN MATCHED AND op='d' THEN DELETE
     WHEN MATCHED THEN UPDATE SET *
     WHEN NOT MATCHED AND op!='d' THEN INSERT *
-expressed as copy-on-write over hash buckets:
+expressed as copy-on-write over hash buckets.
 
+Physical strategy (what makes it scale):
 1. batch (already one row per key, see operators/dedupe) gets its
    bucket id; the touched-bucket set is a tiny collect (≤ n_buckets).
 2. only touched buckets of the target are read (manifest-level file
-   pruning — at 100 TB a micro-batch reads a sliver of the table),
-3. survivors = target ⟕anti batch-keys; upserts = batch rows op≠'d';
-   result = survivors ∪ upserts — one shuffle on the key, and the
-   anti-join broadcasts whenever the deduped batch is small (AQE).
-4. new bucket files written, snapshot committed atomically with the
-   epoch id + offsets (exactly-once: replaying an applied epoch is a
-   metadata no-op — the observable the reference tests as "re-run
-   returns 0 records", mysql/CaptureTest.java:97-99).
+   pruning — at 100 TB a micro-batch reads a sliver of the table).
+3. survivors = target ⟕anti broadcast(batch keys): when the deduped
+   key set is broadcastable (≤ broadcast_key_limit rows), the target
+   data NEVER shuffles — the anti-join runs map-side over the bucket
+   files and survivors are written back partition-aligned. Upserts
+   (batch rows) take the only shuffle: one bucket-repartition.
+   Oversized batches fall back to a shuffle anti-join (AQE handles
+   skew).
+4. survivor files + upsert files commit together in one atomic
+   snapshot with the epoch id + offsets (exactly-once: replaying an
+   applied epoch is a metadata no-op — the observable the reference
+   tests as "re-run returns 0 records", mysql/CaptureTest.java:97-99).
 """
 
 from __future__ import annotations
@@ -31,6 +36,10 @@ from plugin_debezium_spark.models import OP_DELETE
 from plugin_debezium_spark.plans.evolve import evolve_schema
 from plugin_debezium_spark.plans.lake import LakeTable, _cast_to, bucket_expr
 
+# deduped key sets up to this many rows are broadcast for the
+# anti-join (keys are narrow; 2M × ~80B ≈ 160 MB driver-side)
+BROADCAST_KEY_LIMIT = 2_000_000
+
 
 def merge_batch(
     table: LakeTable,
@@ -38,11 +47,69 @@ def merge_batch(
     epoch_id: int,
     last_lsn: int,
     op_col: str = "op",
+    broadcast_key_limit: int = BROADCAST_KEY_LIMIT,
+    lww_guard: bool = False,
 ) -> dict:
     """Apply one deduped micro-batch. ``batch_latest`` must have one
     row per key: key columns + payload columns + ``op``.
 
-    Returns a small stats dict (for lineage/metrics).
+    Convenience wrapper: caches the batch, derives the touched-bucket
+    set and key count in one tiny collect, then delegates to
+    merge_prepared (the engine's epoch loop computes those itself, in
+    the same action as its schema inference).
+    """
+    prev = table.current()
+    if prev.properties.get("last_epoch_id", -1) >= epoch_id:
+        return {"skipped": True, "epoch_id": epoch_id}
+    key_cols = list(prev.key_cols)
+    batch = batch_latest.withColumn(
+        "_bucket", bucket_expr(key_cols, prev.n_buckets)
+    ).cache()
+    try:
+        agg = batch.agg(
+            F.collect_set("_bucket").alias("bs"), F.count("*").alias("n")
+        ).collect()[0]
+        return merge_prepared(
+            table,
+            batch,
+            touched=sorted(int(x) for x in agg["bs"]),
+            n_batch_keys=int(agg["n"]),
+            epoch_id=epoch_id,
+            last_lsn=last_lsn,
+            op_col=op_col,
+            broadcast_key_limit=broadcast_key_limit,
+            lww_guard=lww_guard,
+        )
+    finally:
+        batch.unpersist()
+
+
+def merge_prepared(
+    table: LakeTable,
+    batch: DataFrame,
+    touched: list[int],
+    n_batch_keys: int,
+    epoch_id: int,
+    last_lsn: int,
+    op_col: str = "op",
+    broadcast_key_limit: int = BROADCAST_KEY_LIMIT,
+    lww_guard: bool = False,
+) -> dict:
+    """Core MERGE. ``batch`` must be deduped (one row per key), carry
+    ``_bucket``, and be cached by the caller (it is consumed by up to
+    two write jobs).
+
+    lww_guard=False (default): epochs are applied in LSN order (the
+    batch engine's contract), so batch rows unconditionally win — the
+    fast path (no-shuffle survivors + one batch shuffle).
+
+    lww_guard=True: batches may arrive out of LSN order (the streaming
+    file source delivers files in listing order). The merge becomes a
+    LWW reduce over target ∪ batch on (_lsn, _ts_ms), and deletes are
+    RETAINED as tombstones (_deleted=true) so a late-arriving stale
+    insert cannot resurrect a deleted key. One shuffle of
+    target+batch; a compaction pass can purge tombstones older than
+    the max-disorder window.
     """
     prev = table.current()
     if prev.properties.get("last_epoch_id", -1) >= epoch_id:
@@ -51,39 +118,76 @@ def merge_batch(
 
     key_cols = list(prev.key_cols)
     payload_schema = T.StructType(
-        [f for f in batch_latest.schema.fields if f.name != op_col]
+        [
+            f
+            for f in batch.schema.fields
+            if f.name not in (op_col, "_bucket")
+        ]
     )
     new_schema, changes = evolve_schema(prev.schema(), payload_schema)
-
     nb = prev.n_buckets
-    batch = batch_latest.withColumn("_bucket", bucket_expr(key_cols, nb))
-    # Deduped batch is bounded by distinct keys per epoch — the collect
-    # is ≤ n_buckets ints regardless of batch size.
-    touched = sorted(
-        r["_bucket"] for r in batch.select("_bucket").distinct().collect()
-    )
 
-    target = table._read_files(prev, prev.files, touched)
-    target = _cast_to(target, new_schema)
+    bset = set(touched)
+    target_files = [f for f in prev.files if f["bucket"] in bset]
 
-    upserts = _cast_to(
-        batch.filter(F.col(op_col) != OP_DELETE), new_schema
-    ).withColumn("_bucket", bucket_expr(key_cols, nb))
-    survivors = (
-        target.join(batch.select(*key_cols), on=key_cols, how="left_anti")
-        .withColumn("_bucket", bucket_expr(key_cols, nb))
-    )
-    # One shuffle keyed on the bucket so each task writes whole bucket
-    # files: without this, partitionBy fans out tasks×buckets tiny
-    # files and every later epoch pays the listing/open cost.
-    result = survivors.unionByName(upserts).repartition(
-        max(len(touched), 1), F.col("_bucket")
-    )
+    if lww_guard:
+        return _merge_lww_guard(
+            table,
+            batch,
+            touched,
+            n_batch_keys,
+            epoch_id,
+            last_lsn,
+            prev,
+            new_schema,
+            changes,
+            target_files,
+            op_col,
+        )
 
-    new_files = table.write_bucket_data(result, prev.snapshot_id + 1)
+    upserts = _cast_to(batch.filter(F.col(op_col) != OP_DELETE), new_schema)
+    if "_deleted" in {f.name for f in new_schema.fields}:
+        upserts = upserts.withColumn("_deleted", F.lit(False))
+    upserts = upserts.withColumn("_bucket", bucket_expr(key_cols, nb))
+    # the only full-row shuffle in the merge: batch rows → bucket
+    # layout, one task per touched bucket
+    upserts = upserts.repartition(max(len(touched), 1), F.col("_bucket"))
+
+    survivors = None
+    if target_files:
+        target = _cast_to(
+            table._read_files(prev, target_files, None), new_schema
+        )
+        keys = batch.select(*key_cols)
+        if n_batch_keys <= broadcast_key_limit:
+            # target data never shuffles: map-side anti-join against
+            # the broadcast key set, written back partition-aligned
+            survivors = target.join(
+                F.broadcast(keys), on=key_cols, how="left_anti"
+            )
+        else:
+            survivors = target.join(keys, on=key_cols, how="left_anti")
+        survivors = survivors.withColumn("_bucket", bucket_expr(key_cols, nb))
+
+    # the two write jobs are independent — submit them concurrently so
+    # neither's stage gaps idle the cluster (same trick a streaming
+    # runtime uses for sibling sinks)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(args):
+        df, tag = args
+        return table.write_bucket_data(df, prev.snapshot_id + 1, tag=tag)
+
+    jobs = [(upserts, "ups")]
+    if survivors is not None:
+        jobs.append((survivors, "keep"))
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        results = list(ex.map(_write, jobs))
+    new_files = [f for r in results for f in r]
+
     snap = table.commit(
         new_files,
-        replaced_buckets=set(touched),
+        replaced_buckets=bset,
         schema=new_schema,
         epoch_id=epoch_id,
         properties={"last_lsn": int(last_lsn)},
@@ -93,6 +197,70 @@ def merge_batch(
         "epoch_id": epoch_id,
         "snapshot_id": snap.snapshot_id,
         "touched_buckets": len(touched),
+        "batch_keys": n_batch_keys,
+        "schema_changes": changes,
+        "files_written": len(new_files),
+        "rows_written": int(sum(f["rows"] for f in new_files)),
+    }
+
+
+def _merge_lww_guard(
+    table: LakeTable,
+    batch: DataFrame,
+    touched: list[int],
+    n_batch_keys: int,
+    epoch_id: int,
+    last_lsn: int,
+    prev,
+    new_schema: T.StructType,
+    changes: list[str],
+    target_files: list[dict],
+    op_col: str,
+) -> dict:
+    """Out-of-order-safe merge: LWW reduce over target ∪ batch with
+    tombstone retention (see merge_prepared docstring)."""
+    from plugin_debezium_spark.operators.dedupe import latest_by_key
+
+    key_cols = list(prev.key_cols)
+    nb = prev.n_buckets
+    names = {f.name for f in new_schema.fields}
+    if "_deleted" not in names:
+        raise ValueError(
+            "lww_guard requires a table with a _deleted tombstone column"
+        )
+
+    b = _cast_to(
+        batch.withColumn("_deleted", F.col(op_col) == OP_DELETE), new_schema
+    )
+    sides = [b]
+    if target_files:
+        sides.append(
+            _cast_to(table._read_files(prev, target_files, None), new_schema)
+        )
+    both = sides[0]
+    for s in sides[1:]:
+        both = both.unionByName(s)
+    both = both.withColumn("lsn", F.col("_lsn")).withColumn(
+        "ts_ms", F.col("_ts_ms")
+    )
+    winners = latest_by_key(both, tuple(key_cols)).drop("lsn", "ts_ms")
+    winners = winners.withColumn("_bucket", bucket_expr(key_cols, nb)).repartition(
+        max(len(touched), 1), F.col("_bucket")
+    )
+    new_files = table.write_bucket_data(winners, prev.snapshot_id + 1, tag="lww")
+    snap = table.commit(
+        new_files,
+        replaced_buckets=set(touched),
+        schema=new_schema,
+        epoch_id=epoch_id,
+        properties={"last_lsn": max(int(last_lsn), int(prev.properties.get("last_lsn", -1)))},
+    )
+    return {
+        "skipped": False,
+        "epoch_id": epoch_id,
+        "snapshot_id": snap.snapshot_id,
+        "touched_buckets": len(touched),
+        "batch_keys": n_batch_keys,
         "schema_changes": changes,
         "files_written": len(new_files),
         "rows_written": int(sum(f["rows"] for f in new_files)),

@@ -163,10 +163,13 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = tempfile.mkdtemp(prefix="cdc_replay_")
     log.write.mode("overwrite").partitionBy("lsn_bucket").parquet(f"{d}/log")
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     cfg = EngineConfig(
         log_dir=f"{d}/log",
         table_dir=f"{d}/tbl",
-        max_events_per_batch=2500,
+        # ~4 epochs at any scale factor (multi-epoch machinery without
+        # drowning a larger sf in per-epoch latency)
+        max_events_per_batch=max(2500, n_events // 4 + 1),
         write_metrics=False,
     )
     run(spark, cfg)
@@ -387,6 +390,13 @@ SELECT op, count(*) AS n, max(lsn) AS max_lsn FROM uni GROUP BY op ORDER BY op
 """,
 }
 
+from plugin_debezium_spark.queries_data import (  # noqa: E402
+    DATA_ORACLES,
+    DATA_QUERIES,
+)
+
+ORACLES.update(DATA_ORACLES)
+
 QUERIES = {
     "cdc_final_state": cdc_final_state,
     "cdc_final_state_salted": cdc_final_state_salted,
@@ -399,3 +409,4 @@ QUERIES = {
     "cdc_include_exclude": cdc_include_exclude,
     "cdc_snapshot_union": cdc_snapshot_union,
 }
+QUERIES.update(DATA_QUERIES)

@@ -1,0 +1,344 @@
+"""Training-data pipeline queries (dedup / similarity / text /
+multimodal) over the driver's documents + embeddings tables, each with
+a DuckDB oracle computing the same sha256-derived formulas.
+
+Float-compare hazards are engineered out: pair filters use integer
+cross-multiplication instead of ratio thresholds, rankings use
+deterministic tiebreaks, and scores are integers wherever possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from plugin_debezium_spark.functions.text import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    lang_scores,
+    token_count,
+)
+from plugin_debezium_spark.operators.neardup import (
+    _P,
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from plugin_debezium_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_media_features,
+)
+from plugin_debezium_spark.operators.similarity import brute_force_topk
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def dedup_minhash_signatures(spark, sf_dir):
+    return minhash_signatures(
+        _docs(spark, sf_dir), n_perms=8, shingle_words=3
+    )
+
+
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    sigs = minhash_signatures(_docs(spark, sf_dir), n_perms=8, shingle_words=3)
+    return minhash_lsh_candidates(sigs, n_perms=8, bands=2)
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    out = ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        group_col="source",
+        shingle_words=3,
+        threshold=0.0,
+    )
+    # integer-exact filter: jaccard >= 2% without float comparison
+    return out.filter(
+        F.col("n_inter") * 50 >= (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    ).select("id_a", "id_b", "n_inter", "n_a", "n_b")
+
+
+def dedup_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir), n_bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def text_token_counts(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+def text_quality_features(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    from plugin_debezium_spark.functions.text import occurrences
+
+    stop = sum(occurrences("text", w) for w in ("the", "a", "of"))
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        stop.alias("stop_hits"),
+    )
+
+
+def text_lang_id(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    scores = lang_scores("text")
+    return d.select(
+        "doc_id",
+        lang_id("text").alias("predicted"),
+        *[scores[lang].alias(f"s_{lang}") for lang in sorted(LANG_MARKERS)],
+    )
+
+
+def text_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", doc_fingerprint("text", k=8, stride=4).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity / multimodal
+# ---------------------------------------------------------------------------
+
+
+def emb_topk_bruteforce(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return brute_force_topk(
+        e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5), k=3
+    ).select("query_id", "rank", "neighbor_id")
+
+
+def emb_topk_lsh(spark, sf_dir):
+    """Approximate ANN via random-hyperplane buckets (pandas-UDF
+    signatures) — no SQL oracle; rows-only check."""
+    from plugin_debezium_spark.operators.similarity import lsh_topk
+
+    e = _embs(spark, sf_dir)
+    dim = len(e.select("embedding").first()[0])
+    return lsh_topk(
+        e.filter(F.col("vec_id") >= 5),
+        e.filter(F.col("vec_id") < 5),
+        dim=dim,
+        k=3,
+        n_planes=4,
+    ).select("query_id", "rank", "neighbor_id")
+
+
+def multimodal_features(spark, sf_dir):
+    media = attach_binary_payload(
+        _docs(spark, sf_dir), src_col="text", media_id_col="doc_id"
+    )
+    return extract_media_features(media, decode_mode="fake")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL twins
+# ---------------------------------------------------------------------------
+
+_SHINGLES3 = """
+words AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 2, 1)),
+           i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+  FROM words
+)
+"""
+
+_MINHASH_SIG = f"""
+WITH {_SHINGLES3},
+hashed AS (
+  SELECT doc_id,
+         (('0x' || substr(sha256(shingle), 1, 15))::BIGINT) % {_P} AS h
+  FROM shingles
+),
+sig AS (
+  SELECT doc_id,
+         {', '.join(f'min((h * {1 + 2 * j} + {12345 + 7 * j}) % {_P}) AS mh{j}' for j in range(8))}
+  FROM hashed GROUP BY doc_id
+)
+"""
+
+DATA_ORACLES: dict[str, str] = {
+    "dedup_exact": """
+SELECT sha256(text) AS text_sha256, min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+    "dedup_minhash_signatures": _MINHASH_SIG + "SELECT * FROM sig",
+    "dedup_minhash_lsh_pairs": _MINHASH_SIG
+    + """,
+banded AS (
+  SELECT doc_id, 0 AS band,
+         sha256(mh0::VARCHAR || ',' || mh1::VARCHAR || ',' || mh2::VARCHAR || ',' || mh3::VARCHAR) AS bucket
+  FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         sha256(mh4::VARCHAR || ',' || mh5::VARCHAR || ',' || mh6::VARCHAR || ',' || mh7::VARCHAR) AS bucket
+  FROM sig
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+    "dedup_ngram_jaccard": f"""
+WITH {_SHINGLES3},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter, ca.n_sh AS n_a, cb.n_sh AS n_b
+FROM inter
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE n_inter * 50 >= (ca.n_sh + cb.n_sh - n_inter)
+""",
+    "dedup_simhash": """
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(sha256(unnest(string_split_regex(trim(text), '\\s+'))), 1, 15))::BIGINT AS h
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, h, unnest(generate_series(0, 15)) AS b FROM toks
+),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM bits GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+FROM votes GROUP BY 1
+""",
+    "text_token_counts": """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+       len(list_filter(string_split_regex(text, '[^0-9A-Za-z]+'),
+                       x -> length(x) > 0))
+       + length(regexp_replace(text, '[0-9A-Za-z\\s]', '', 'g')) AS bpe_tokens
+FROM documents
+""",
+    "text_quality_features": """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       length(text) AS n_chars,
+       CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+          + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+          + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4 AS BIGINT) AS stop_hits
+FROM documents
+""",
+    "text_fingerprint": """
+SELECT doc_id,
+       list_min(list_transform(
+         generate_series(1, greatest(length(text) - 7, 1), 4),
+         i -> substr(sha256(substr(text, i, 8)), 1, 16))) AS fingerprint
+FROM documents
+""",
+    "emb_topk_bruteforce": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM c, q
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
+""",
+    "multimodal_features": """
+SELECT doc_id AS media_id, 'image' AS kind,
+       length(text) AS n_bytes, sha256(text) AS sha256,
+       CAST(16 + length(text) % 64 AS INT) AS width,
+       CAST(16 + (length(text) // 64) % 64 AS INT) AS height,
+       3 AS channels,
+       (list_sum(list_transform(generate_series(1, least(length(text), 256)),
+                                i -> ascii(substr(text, i, 1)))) % 2560) / 10.0 AS mean_luma
+FROM documents
+""",
+}
+
+# text_lang_id oracle: argmax over struct list (score, tie, lang) —
+# identical tie semantics to functions.text.lang_id
+_langs = sorted(LANG_MARKERS)
+
+
+def _occ_sql2(word: str) -> str:
+    n = len(word) + 2
+    return (
+        f"CAST((length(' '||text||' ') - "
+        f"length(replace(' '||text||' ', ' {word} ', ''))) / {n} AS BIGINT)"
+    )
+
+
+_score_sql = {
+    lang: " + ".join(_occ_sql2(w) for w in LANG_MARKERS[lang]) for lang in _langs
+}
+DATA_ORACLES["text_lang_id"] = (
+    "SELECT doc_id, list_max(["
+    + ", ".join(
+        f"{{'score': ({_score_sql[lang]}), 'tie': {len(_langs) - i}, 'lang': '{lang}'}}"
+        for i, lang in enumerate(_langs)
+    )
+    + "]).lang AS predicted, "
+    + ", ".join(f"({_score_sql[lang]}) AS s_{lang}" for lang in _langs)
+    + " FROM documents"
+)
+
+DATA_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_signatures": dedup_minhash_signatures,
+    "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "text_token_counts": text_token_counts,
+    "text_quality_features": text_quality_features,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "emb_topk_bruteforce": emb_topk_bruteforce,
+    "emb_topk_lsh": emb_topk_lsh,
+    "multimodal_features": multimodal_features,
+}

@@ -222,7 +222,15 @@ def build_log(spark: SparkSession, spec: LogSpec = LogSpec()) -> DataFrame:
 def write_log(spark: SparkSession, out_dir: str, spec: LogSpec = LogSpec()) -> str:
     """Materialize the log partitioned by lsn_bucket (→ partition
     pruning when resuming past a checkpointed LSN)."""
-    build_log(spark, spec).write.mode("overwrite").partitionBy(
-        "lsn_bucket"
-    ).parquet(out_dir)
+    # one task per lsn_bucket, rows sorted by lsn inside each file →
+    # tight parquet min/max stats, so an LSN-range read prunes row
+    # groups as well as partitions
+    (
+        build_log(spark, spec)
+        .repartition(spec.lsn_buckets, F.col("lsn_bucket"))
+        .sortWithinPartitions("lsn")
+        .write.mode("overwrite")
+        .partitionBy("lsn_bucket")
+        .parquet(out_dir)
+    )
     return out_dir

@@ -28,13 +28,14 @@ def read_after(spark: SparkSession, log_dir: str, last_lsn: int) -> DataFrame:
 
 def plan_epochs(
     spark: SparkSession, log_dir: str, last_lsn: int, max_events_per_batch: int
-) -> list[tuple[int, int]]:
+) -> list[dict]:
     """Split remaining log into LSN ranges of ~max_events_per_batch.
 
     Uses the lsn_bucket partition values (directory listing scale, not
     data scale) plus one bounded aggregate — cheap even on a 10^10-row
     log because it reads only the ``lsn`` column of unapplied buckets.
-    Returns [(lo_exclusive, hi_inclusive), ...].
+    Returns [{"lo": exclusive, "hi": inclusive, "buckets": [...]}, ...]
+    — the bucket list lets the epoch read prune partitions outright.
     """
     remaining = read_after(spark, log_dir, last_lsn)
     # bucket-level stats: tiny result (one row per partition dir)
@@ -44,24 +45,36 @@ def plan_epochs(
         .orderBy("lsn_bucket")
         .collect()
     )
-    epochs: list[tuple[int, int]] = []
+    epochs: list[dict] = []
     lo = last_lsn
     acc = 0
+    buckets: list[int] = []
     for row in stats:
         acc += row["n"]
+        buckets.append(row["lsn_bucket"])
         if acc >= max_events_per_batch:
-            epochs.append((lo, row["hi"]))
+            epochs.append({"lo": lo, "hi": row["hi"], "buckets": buckets})
             lo = row["hi"]
             acc = 0
+            # epochs close on bucket boundaries (hi = bucket max), so
+            # the closed bucket is fully consumed
+            buckets = []
     if acc > 0:
-        epochs.append((lo, stats[-1]["hi"]))
+        epochs.append({"lo": lo, "hi": stats[-1]["hi"], "buckets": buckets})
     return epochs
 
 
 def read_range(
-    spark: SparkSession, log_dir: str, lo_exclusive: int, hi_inclusive: int
+    spark: SparkSession,
+    log_dir: str,
+    lo_exclusive: int,
+    hi_inclusive: int,
+    buckets: list[int] | None = None,
 ) -> DataFrame:
     df = read_log(spark, log_dir)
+    if buckets is not None:
+        # partition pruning: only the named lsn_bucket dirs are listed
+        df = df.filter(F.col("lsn_bucket").isin([int(b) for b in buckets]))
     return df.filter(
         (F.col("lsn") > F.lit(lo_exclusive)) & (F.col("lsn") <= F.lit(hi_inclusive))
     )

@@ -49,13 +49,26 @@ class EngineConfig:
     # stop conditions (reference L4: AbstractDebeziumTask.java:610-634)
     max_batches: int | None = None
     max_duration_s: float | None = None
-    decode_mode: str = "native"  # or "arrow"
+    # "variant": parse JSON once into VariantType, infer schema with
+    #   schema_of_variant_agg over the cached variants, project with a
+    #   cast — the fast path (half the JSON work of "native").
+    # "native": from_json with a separate shape-inference pass.
+    # "arrow": vectorized pandas-UDF decode (parity/extension path).
+    decode_mode: str = "variant"
     sha_mode: str = "native"  # or "arrow"
     n_salts: int = 0  # >1 → explicit two-phase salted dedupe
     db_include: str | None = None
     table_include: str | None = None
     write_metrics: bool = True
     extra_table_cols: tuple = ()
+    # envelope logs are highly compressible (JSON payloads): a 10 MB
+    # parquet split expands to ~100 MB of parse work, so scan splits
+    # must be much smaller than the 128 MB default or a micro-batch
+    # collapses into a handful of tasks and stops scaling with cores
+    scan_partition_bytes: int = 8 * 1024 * 1024
+    # out-of-order-safe merge (LWW reduce + tombstones); required when
+    # batches may not arrive in LSN order (streaming file source)
+    lww_guard: bool = False
 
 
 def ensure_table(spark: SparkSession, cfg: EngineConfig) -> LakeTable:
@@ -65,6 +78,7 @@ def ensure_table(spark: SparkSession, cfg: EngineConfig) -> LakeTable:
     fields.append(T.StructField("content_sha256", T.StringType(), True))
     fields.append(T.StructField("_lsn", T.LongType(), True))
     fields.append(T.StructField("_ts_ms", T.LongType(), True))
+    fields.append(T.StructField("_deleted", T.BooleanType(), True))
     return LakeTable.create(
         spark, cfg.table_dir, T.StructType(fields), cfg.n_buckets, KEY_COLS
     )
@@ -76,22 +90,17 @@ def _payload_base(table: LakeTable) -> T.StructType:
         [
             f
             for f in table.current().schema().fields
-            if f.name not in ("content_sha256", "_lsn", "_ts_ms")
+            if f.name not in ("content_sha256", "_lsn", "_ts_ms", "_deleted")
         ]
     )
 
 
-def build_batch_rows(
-    events: DataFrame,
-    payload_schema: T.StructType,
-    decode_mode: str = "native",
-    sha_mode: str = "native",
+def _rows_from_after(
+    decoded: DataFrame, payload_schema: T.StructType, sha_mode: str
 ) -> DataFrame:
-    """Envelope → sink-row projection: decode, pick the after image
-    (key survives for deletes via the key struct, as the reference
-    merges the record key into the row — ChangeConsumer.java:276-280),
-    stamp sha256(content)."""
-    decoded = decode_envelope(events, payload_schema, decode_mode)
+    """after struct → sink-row projection: key survives for deletes via
+    the key struct (the reference merges the record key into the row —
+    ChangeConsumer.java:276-280), stamp sha256(content)."""
     payload_cols = [f.name for f in payload_schema.fields if f.name not in KEY_COLS]
     sel = [
         F.coalesce(F.col(f"key.{k}"), F.col(f"after.{k}")).alias(k)
@@ -109,6 +118,32 @@ def build_batch_rows(
     return decoded.select(*sel)
 
 
+def build_batch_rows(
+    events: DataFrame,
+    payload_schema: T.StructType,
+    decode_mode: str = "native",
+    sha_mode: str = "native",
+) -> DataFrame:
+    """from_json / Arrow decode path (variant path decodes inline in
+    apply_epoch to reuse the cached parse)."""
+    decoded = decode_envelope(events, payload_schema, decode_mode, images=("after",))
+    return _rows_from_after(decoded, payload_schema, sha_mode)
+
+
+def _variant_ddl_to_struct(ddl: str | None, base: T.StructType) -> T.StructType:
+    """'OBJECT<a: BIGINT, ...>' (schema_of_variant_agg output) →
+    StructType, merged with the table's payload schema."""
+    from plugin_debezium_spark.functions.decode import merge_types
+
+    if not ddl or not ddl.upper().startswith("OBJECT<"):
+        return base
+    struct_ddl = ddl.replace("OBJECT<", "STRUCT<")
+    batch = T._parse_datatype_string(struct_ddl)
+    merged = merge_types(base, batch)
+    assert isinstance(merged, T.StructType)
+    return merged
+
+
 def apply_epoch(
     spark: SparkSession,
     table: LakeTable,
@@ -116,31 +151,136 @@ def apply_epoch(
     epoch_id: int,
     lo: int,
     hi: int,
+    buckets: list[int] | None = None,
 ) -> dict:
-    events = read_range(spark, cfg.log_dir, lo, hi)
+    events = read_range(spark, cfg.log_dir, lo, hi, buckets)
     events = drop_ddl(events)
     events = include_exclude(
         events, db_include=cfg.db_include, table_include=cfg.table_include
     )
-    events = events.cache()
+    if cfg.decode_mode == "variant":
+        return _apply_epoch_variant(spark, table, cfg, epoch_id, hi, events)
+    return _apply_epoch_json(spark, table, cfg, epoch_id, hi, events)
+
+
+def _apply_epoch_variant(
+    spark: SparkSession,
+    table: LakeTable,
+    cfg: EngineConfig,
+    epoch_id: int,
+    hi: int,
+    events: DataFrame,
+) -> dict:
+    """Fast path. Order of operations is the whole trick:
+
+    1. parse JSON → variant ONCE, shuffle variants through the LWW
+       dedupe (losers are never decoded or hashed),
+    2. ONE action over the cached winners computes schema inference
+       (schema_of_variant_agg), the touched-bucket set, and the key
+       count together,
+    3. decode winners via a variant→struct cast, sha256 winners only,
+    4. merge_prepared writes survivors (no shuffle, broadcast
+       anti-join) + upserts (one bucket shuffle), commits atomically.
+    """
+    from plugin_debezium_spark.plans.lake import bucket_expr
+    from plugin_debezium_spark.plans.merge import merge_prepared
+
+    nb = table.current().n_buckets
+    work = events.select(
+        F.col("key.repo").alias("repo"),
+        F.col("key.path").alias("path"),
+        F.col("key.commit").alias("commit"),
+        "lsn",
+        "ts_ms",
+        "op",
+        "source",
+        F.parse_json(F.col("after_json")).alias("_av"),
+    ).withColumn("_bucket", bucket_expr(KEY_COLS, nb))
+    latest = latest_by_key(work, KEY_COLS, cfg.n_salts).cache()
     try:
-        payload_schema = infer_payload_schema(events, base=_payload_base(table))
-        rows = build_batch_rows(events, payload_schema, cfg.decode_mode, cfg.sha_mode)
-        latest = latest_by_key(rows, KEY_COLS, cfg.n_salts).drop("lsn", "ts_ms")
-        stats = merge_batch(table, latest, epoch_id=epoch_id, last_lsn=hi)
+        t0 = time.time()
+        agg = latest.agg(
+            F.expr("schema_of_variant_agg(_av)").alias("s"),
+            F.collect_set("_bucket").alias("bs"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        t1 = time.time()
+        payload_schema = _variant_ddl_to_struct(agg["s"], _payload_base(table))
+        payload_cols = [
+            f.name for f in payload_schema.fields if f.name not in KEY_COLS
+        ]
+        after = F.expr(f"cast(_av as {payload_schema.simpleString()})")
+        decoded = latest.withColumn("after", after).select(
+            *KEY_COLS,
+            *[F.col(f"after.{c}").alias(c) for c in payload_cols],
+            content_sha256(F.col("after.content"), cfg.sha_mode).alias(
+                "content_sha256"
+            ),
+            F.col("lsn").alias("_lsn"),
+            F.col("ts_ms").alias("_ts_ms"),
+            F.col("op"),
+            F.col("_bucket"),
+        )
+        stats = merge_prepared(
+            table,
+            decoded,
+            touched=sorted(int(x) for x in agg["bs"]),
+            n_batch_keys=int(agg["n"]),
+            epoch_id=epoch_id,
+            last_lsn=hi,
+            lww_guard=cfg.lww_guard,
+        )
+        stats["t_infer_s"] = round(t1 - t0, 2)
+        stats["t_merge_s"] = round(time.time() - t1, 2)
         if cfg.write_metrics and not stats.get("skipped"):
-            mdir = os.path.join(cfg.table_dir, "metrics")
-            epoch_lineage(events, epoch_id).write.mode("overwrite").parquet(
-                os.path.join(mdir, "lineage", f"epoch={epoch_id}")
-            )
-            stream_counts(events).withColumn(
-                "epoch_id", F.lit(epoch_id)
-            ).write.mode("overwrite").parquet(
-                os.path.join(mdir, "streams", f"epoch={epoch_id}")
-            )
+            _write_metrics(cfg, latest, epoch_id)
         return stats
     finally:
-        events.unpersist()
+        latest.unpersist()
+
+
+def _apply_epoch_json(
+    spark: SparkSession,
+    table: LakeTable,
+    cfg: EngineConfig,
+    epoch_id: int,
+    hi: int,
+    events: DataFrame,
+) -> dict:
+    """from_json / Arrow parity path (two JSON passes; kept for
+    environments without VariantType and as a differential oracle)."""
+    work = events.cache()
+    try:
+        t0 = time.time()
+        payload_schema = infer_payload_schema(
+            work, cols=("after_json",), base=_payload_base(table)
+        )
+        t1 = time.time()
+        rows = build_batch_rows(
+            work, payload_schema, cfg.decode_mode, cfg.sha_mode
+        )
+        latest = latest_by_key(rows, KEY_COLS, cfg.n_salts).drop("lsn", "ts_ms")
+        stats = merge_batch(table, latest, epoch_id=epoch_id, last_lsn=hi)
+        stats["t_infer_s"] = round(t1 - t0, 2)
+        stats["t_merge_s"] = round(time.time() - t1, 2)
+        if cfg.write_metrics and not stats.get("skipped"):
+            _write_metrics(cfg, work, epoch_id)
+        return stats
+    finally:
+        work.unpersist()
+
+
+def _write_metrics(cfg: EngineConfig, df: DataFrame, epoch_id: int) -> None:
+    """Lineage + per-stream counters, idempotent per epoch dir. On the
+    variant path the input is the deduped batch (winner lineage); the
+    json path records raw-event lineage."""
+    mdir = os.path.join(cfg.table_dir, "metrics")
+    epoch_lineage(df, epoch_id).write.mode("overwrite").parquet(
+        os.path.join(mdir, "lineage", f"epoch={epoch_id}")
+    )
+    stream_counts(df).withColumn("epoch_id", F.lit(epoch_id)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(mdir, "streams", f"epoch={epoch_id}"))
 
 
 def run(spark: SparkSession, cfg: EngineConfig) -> dict:
@@ -149,6 +289,9 @@ def run(spark: SparkSession, cfg: EngineConfig) -> dict:
     observable). Resumable mid-stream: kill it after any batch and the
     next run continues from the snapshot's last_lsn/epoch."""
     t0 = time.time()
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(cfg.scan_partition_bytes)
+    )
     table = ensure_table(spark, cfg)
     props = table.current().properties
     last_lsn = int(props.get("last_lsn", -1))
@@ -156,7 +299,7 @@ def run(spark: SparkSession, cfg: EngineConfig) -> dict:
 
     epochs = plan_epochs(spark, cfg.log_dir, last_lsn, cfg.max_events_per_batch)
     applied = []
-    for i, (lo, hi) in enumerate(epochs):
+    for i, ep in enumerate(epochs):
         if cfg.max_batches is not None and i >= cfg.max_batches:
             break
         if (
@@ -164,7 +307,11 @@ def run(spark: SparkSession, cfg: EngineConfig) -> dict:
             and time.time() - t0 > cfg.max_duration_s
         ):
             break
-        applied.append(apply_epoch(spark, table, cfg, next_epoch + i, lo, hi))
+        applied.append(
+            apply_epoch(
+                spark, table, cfg, next_epoch + i, ep["lo"], ep["hi"], ep["buckets"]
+            )
+        )
     return {
         "batches_applied": len(applied),
         "epochs": applied,

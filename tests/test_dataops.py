@@ -1,0 +1,170 @@
+"""Training-data operator suite: dedup family, similarity, text
+analysis, multimodal plumbing."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from plugin_debezium_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from plugin_debezium_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_media_features,
+    frame_sample,
+)
+from plugin_debezium_spark.operators.neardup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from plugin_debezium_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base, "src0"),
+        (1, base, "src0"),  # exact dup of 0
+        (2, base + " extra tail words here", "src0"),  # near dup
+        (3, "completely different content about spark shuffles and joins", "src0"),
+        (4, "another unrelated doc regarding parquet row groups", "src1"),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).collect()
+    n = {r["keep_id"]: r["n_dups"] for r in out}
+    assert n[0] == 2  # docs 0,1 collapse
+    assert len(out) == 4
+
+
+def test_minhash_near_dup_found(spark, docs):
+    sigs = minhash_signatures(docs, n_perms=16, shingle_words=2)
+    pairs = minhash_lsh_candidates(sigs, n_perms=16, bands=8).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got  # exact dups always collide on all bands
+    # near dup 0-2 should share at least one band with high probability
+    assert any(p in got for p in [(0, 2), (1, 2)])
+    # unrelated docs shouldn't match every band
+    assert (3, 4) not in got
+
+
+def test_ngram_jaccard(spark, docs):
+    out = ngram_jaccard_pairs(
+        docs, group_col="source", shingle_words=2, threshold=0.5
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert pairs[(0, 1)] == 1.0
+    assert all(j >= 0.5 for j in pairs.values())
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(docs, n_bits=32).collect()}
+    assert out[0] == out[1]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(out[0], out[2]) <= ham(out[0], out[3])
+
+
+def test_brute_force_topk_self_is_nearest(spark):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(6),
+            "embedding": [
+                [1.0, 0.0, 0.0],
+                [0.9, 0.1, 0.0],
+                [0.0, 1.0, 0.0],
+                [0.0, 0.9, 0.1],
+                [0.0, 0.0, 1.0],
+                [0.1, 0.0, 0.9],
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+    out = brute_force_topk(
+        df.filter(F.col("vec_id") % 2 == 1),
+        df.filter(F.col("vec_id") % 2 == 0),
+        k=1,
+    ).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in out}
+    assert got == {0: 1, 2: 3, 4: 5}
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 16)).astype("float64")
+    pdf = pd.DataFrame(
+        {"vec_id": range(40), "embedding": [list(v) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+    corpus = df.filter(F.col("vec_id") >= 5)
+    queries = df.filter(F.col("vec_id") < 5)
+    out = lsh_topk(corpus, queries, dim=16, k=3, n_planes=2).collect()
+    # approximate: every returned neighbor must be in the query's bucket,
+    # ranks are 1..k, cosine within [-1,1]
+    assert all(1 <= r["rank"] <= 3 and -1.0 <= r["cosine"] <= 1.0 for r in out)
+    assert len(out) > 0
+
+
+def test_cosine_neardup_pairs(spark):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2],
+            "embedding": [[1.0, 0.0], [1.0, 0.01], [0.0, 1.0]],
+        }
+    )
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+    out = cosine_neardup_pairs(df, dim=2, threshold=0.99, n_planes=1).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["the cat sat on the mat", "", "  "]})
+    )
+    out = df.select(
+        token_count("text").alias("n"),
+        quality_score("text"),
+        lang_id("text").alias("lang"),
+        doc_fingerprint("text").alias("fp"),
+    ).collect()
+    assert out[0]["n"] == 6
+    assert out[1]["n"] == 0 and out[2]["n"] == 0
+    assert 0.0 <= out[0]["quality"] <= 1.0
+    assert out[0]["lang"] in {"en", "de", "fr", "es", "zh"}
+    assert len(out[0]["fp"]) == 16
+
+
+def test_multimodal_fake_decode_and_frames(spark, docs):
+    media = attach_binary_payload(docs, "text", "doc_id")
+    feats = extract_media_features(media, decode_mode="fake")
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert rows[0]["n_bytes"] == len(
+        "the quick brown fox jumps over the lazy dog again and again"
+    )
+    assert rows[0]["sha256"] == rows[1]["sha256"]  # same payload
+    assert rows[0]["channels"] == 3
+    frames = frame_sample(media, every_n_bytes=16, max_frames=4).collect()
+    assert all(len(r["frame_bytes"]) <= 16 for r in frames)
+    assert {r["media_id"] for r in frames} == {0, 1, 2, 3, 4}
+
+
+def test_multimodal_real_mode_raises(spark, docs):
+    media = attach_binary_payload(docs, "text", "doc_id")
+    with pytest.raises(Exception, match="NotImplementedError|real image"):
+        extract_media_features(media, decode_mode="real").collect()

@@ -109,6 +109,53 @@ def test_crash_before_pointer_swap_is_invisible(spark, tmp_path):
     assert t.read().count() == 1
 
 
+def test_lww_guard_out_of_order_and_tombstones(spark, tmp_path):
+    """Out-of-order batches: a late stale insert must not overwrite a
+    newer row, and must not resurrect a deleted key (tombstones)."""
+    fields = SCHEMA.fields + [
+        T.StructField("_lsn", T.LongType(), True),
+        T.StructField("_ts_ms", T.LongType(), True),
+        T.StructField("_deleted", T.BooleanType(), True),
+    ]
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), T.StructType(fields), n_buckets=4
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                rows,
+                columns=["repo", "path", "commit", "content", "_lsn", "_ts_ms", "op"],
+            )
+        )
+
+    from plugin_debezium_spark.plans.merge import merge_batch
+
+    # LATER events arrive first: upsert k1@lsn100, delete k2@lsn200
+    merge_batch(
+        t,
+        batch([("r", "a", "c", "new", 100, 100, "u"),
+               ("r", "b", "c", None, 200, 200, "d")]),
+        epoch_id=0,
+        last_lsn=200,
+        lww_guard=True,
+    )
+    # stale batch arrives late: k1@lsn50 (older), k2@lsn60 (pre-delete)
+    merge_batch(
+        t,
+        batch([("r", "a", "c", "stale", 50, 50, "u"),
+               ("r", "b", "c", "zombie", 60, 60, "c")]),
+        epoch_id=1,
+        last_lsn=60,
+        lww_guard=True,
+    )
+    rows = {r["path"]: r for r in t.read().collect()}
+    assert rows["a"]["content"] == "new"  # stale insert lost
+    assert "b" not in rows  # tombstone held; no resurrection
+    with_tombs = t.read(include_deleted=True).collect()
+    assert len(with_tombs) == 2
+
+
 def test_evolve_schema_unit():
     t1 = T.StructType([T.StructField("a", T.LongType(), True)])
     b = T.StructType(

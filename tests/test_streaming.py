@@ -1,0 +1,84 @@
+"""Structured Streaming delivery (K2) + connector config surface (S4)."""
+
+import pandas as pd
+import pytest
+
+from plugin_debezium_spark.plans.lake import LakeTable
+from plugin_debezium_spark.sources.connectors import (
+    CONNECTORS,
+    MongoConfig,
+    MySqlConfig,
+    PostgresConfig,
+    SnapshotMode,
+)
+from plugin_debezium_spark.sources.genlog import LogSpec, write_log
+from plugin_debezium_spark.streaming.engine import EngineConfig
+from plugin_debezium_spark.streaming.realtime import run_available_now
+from tests.golden import golden_key_hashes, read_log_pandas
+
+SPEC = LogSpec(n_events=2_000, n_keys=300, n_snapshot=200, epoch_size=500)
+
+
+def test_streaming_available_now_matches_golden(spark, tmp_path):
+    log = write_log(spark, str(tmp_path / "log"), SPEC)
+    cfg = EngineConfig(
+        log_dir=log, table_dir=str(tmp_path / "tbl"), write_metrics=False
+    )
+    run_available_now(spark, cfg, str(tmp_path / "ckpt"))
+    t = LakeTable(spark, cfg.table_dir)
+    got = {
+        tuple(r)
+        for r in t.read()
+        .select("repo", "path", "commit", "content_sha256")
+        .collect()
+    }
+    assert got == golden_key_hashes(read_log_pandas(log))
+
+
+def test_streaming_restart_is_noop(spark, tmp_path):
+    log = write_log(spark, str(tmp_path / "log"), SPEC)
+    cfg = EngineConfig(
+        log_dir=log, table_dir=str(tmp_path / "tbl"), write_metrics=False
+    )
+    run_available_now(spark, cfg, str(tmp_path / "ckpt"))
+    snap = LakeTable(spark, cfg.table_dir).current().snapshot_id
+    run_available_now(spark, cfg, str(tmp_path / "ckpt"))
+    assert LakeTable(spark, cfg.table_dir).current().snapshot_id == snap
+
+
+def test_connector_property_mapping():
+    my = MySqlConfig(
+        hostname="db1",
+        username="u",
+        password="p",
+        table_include_list=["shop.orders", "shop.items,v2"],
+        snapshot_mode=SnapshotMode.INITIAL_ONLY,
+        properties={"custom.knob": "1"},
+    )
+    p = my.to_properties()
+    assert p["connector.class"] == "mysql"
+    assert p["database.server.id"] == "5400"
+    assert p["snapshot.mode"] == "initial_only"
+    # comma escaping like reference joinProperties
+    assert p["table.include.list"] == "shop.orders,shop.items\\,v2"
+    assert p["custom.knob"] == "1"
+
+    pg = PostgresConfig(slot_name="s1", publication_name="pub")
+    pp = pg.to_properties()
+    assert pp["plugin.name"] == "pgoutput" and pp["slot.name"] == "s1"
+
+    mongo = MongoConfig(connection_string="mongodb://x:27017")
+    assert mongo.to_properties()["capture.mode"] == "change_streams_update_full"
+    assert set(CONNECTORS) == {
+        "mysql", "postgres", "sqlserver", "oracle", "db2", "mongodb"
+    }
+
+
+def test_connector_regexes_feed_filters():
+    cfg = MySqlConfig(
+        database_include_list=["shop", "crm"], table_exclude_list=["tmp.*"]
+    )
+    rx = cfg.include_exclude_regexes()
+    assert rx["db_include"] == "(?:shop)|(?:crm)"
+    assert rx["table_exclude"] == "(?:tmp.*)"
+    assert rx["db_exclude"] is None
