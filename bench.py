@@ -138,11 +138,17 @@ def main() -> None:
     spark.stop()
 
     batch = max(BENCH_EVENTS // 2, 1)
+    # best-of-N alternating runs per level: this host's background
+    # noise is larger than the effect being measured on single shots
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     replay = {}
-    for cores in SCALING_CORES:
-        r = _run_worker(log_dir, cores, batch)
-        r["events_per_sec"] = round(BENCH_EVENTS / r["wall_s"], 1)
-        replay[f"local[{cores}]"] = r
+    for attempt in range(runs):
+        for cores in SCALING_CORES:
+            r = _run_worker(log_dir, cores, batch)
+            r["events_per_sec"] = round(BENCH_EVENTS / r["wall_s"], 1)
+            key = f"local[{cores}]"
+            if key not in replay or r["wall_s"] < replay[key]["wall_s"]:
+                replay[key] = r
     lo, hi = (replay[f"local[{c}]"] for c in SCALING_CORES)
     ratio = SCALING_CORES[1] / SCALING_CORES[0]
     efficiency = (hi["events_per_sec"] / lo["events_per_sec"]) / ratio

@@ -1,0 +1,109 @@
+"""Debezium temporal/decimal type converters (SURVEY.md §1.2 P7).
+
+The reference's MapConverter turns Debezium logical types — integers
+carrying epoch-days/millis/micros/nanos, ISO strings for zoned values
+— into Java temporal objects (MapConverter.java:60-142). These are the
+Spark-native equivalents, applied to decoded payload columns when a
+source schema marks them with Debezium logical type names.
+
+Mapping parity (reference file:line → here):
+  io.debezium.time.Date        :60-64  → debezium_date (epoch days)
+  Timestamp (ms)               :114-118→ timestamp_ms
+  MicroTimestamp (µs)          :84-88  → micro_timestamp
+  NanoTimestamp (ns)           :102-106→ nano_timestamp (µs truncation)
+  Time/MicroTime/NanoTime      :78-112 → *_time as HH:mm:ss.SSSSSS
+                                          strings (Spark has no TimeType)
+  Year                         :120-124→ year_date (Jan 1 of year)
+  ZonedTimestamp/ZonedTime     :126-136→ zoned_timestamp (UTC session)
+  MicroDuration                :72-76  → micro_duration (day-time interval)
+  Decimal                      :138-142→ decimal_str cast
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def debezium_date(col) -> Column:
+    """int epoch-days → DateType."""
+    return F.date_add(F.to_date(F.lit("1970-01-01")), _c(col).cast("int"))
+
+
+def timestamp_ms(col) -> Column:
+    return F.timestamp_millis(_c(col).cast("long"))
+
+
+def micro_timestamp(col) -> Column:
+    return F.timestamp_micros(_c(col).cast("long"))
+
+
+def nano_timestamp(col) -> Column:
+    """ns → TimestampType; sub-µs truncates (documented lossy edge,
+    same as the reference's Instant truncation to nanos vs our µs)."""
+    return F.timestamp_micros((_c(col) / 1000).cast("long"))
+
+
+def time_ms(col) -> Column:
+    """ms-of-day → 'HH:mm:ss.SSS' string (no TimeType in Spark)."""
+    return F.date_format(F.timestamp_millis(_c(col).cast("long")), "HH:mm:ss.SSS")
+
+
+def micro_time(col) -> Column:
+    return F.date_format(
+        F.timestamp_micros(_c(col).cast("long")), "HH:mm:ss.SSSSSS"
+    )
+
+
+def nano_time(col) -> Column:
+    return F.date_format(
+        F.timestamp_micros((_c(col) / 1000).cast("long")), "HH:mm:ss.SSSSSS"
+    )
+
+
+def year_date(col) -> Column:
+    """int year → DateType(y, 1, 1) (reference Year → LocalDate)."""
+    return F.make_date(_c(col).cast("int"), F.lit(1), F.lit(1))
+
+
+def zoned_timestamp(col) -> Column:
+    """ISO-8601 string with offset → TimestampType normalized to the
+    UTC session zone."""
+    return F.to_timestamp(_c(col))
+
+
+def micro_duration(col) -> Column:
+    """long µs → DayTimeIntervalType."""
+    return F.expr(
+        f"make_dt_interval(0, 0, 0, {_name(col)} / 1000000.0)"
+    )
+
+
+def decimal_str(col, precision: int = 38, scale: int = 9) -> Column:
+    return _c(col).cast(f"decimal({precision},{scale})")
+
+
+def _name(col) -> str:
+    return col if isinstance(col, str) else str(col._jc)  # pragma: no cover
+
+
+# registry keyed by Debezium logical-type name (what a Connect schema
+# carries in `name`), for schema-registry-driven decode
+DEBEZIUM_CONVERTERS = {
+    "io.debezium.time.Date": debezium_date,
+    "io.debezium.time.Timestamp": timestamp_ms,
+    "io.debezium.time.MicroTimestamp": micro_timestamp,
+    "io.debezium.time.NanoTimestamp": nano_timestamp,
+    "io.debezium.time.Time": time_ms,
+    "io.debezium.time.MicroTime": micro_time,
+    "io.debezium.time.NanoTime": nano_time,
+    "io.debezium.time.Year": year_date,
+    "io.debezium.time.ZonedTimestamp": zoned_timestamp,
+    "io.debezium.time.ZonedTime": zoned_timestamp,
+    "io.debezium.time.MicroDuration": micro_duration,
+    "org.apache.kafka.connect.data.Decimal": decimal_str,
+}

@@ -1,0 +1,69 @@
+"""Table maintenance: compaction + tombstone expiry.
+
+COW merging accumulates two file sets per touched bucket per epoch
+(survivors + upserts) and, in lww_guard mode, delete tombstones.
+Compaction rewrites chosen buckets into one file each and drops
+tombstones older than the out-of-order horizon — the same job
+Iceberg's rewrite_data_files + expire_snapshots pair does.
+
+Scale: compaction is per-bucket-parallel and reads only buckets whose
+file count exceeds the threshold; run it on a cadence, not per epoch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from plugin_debezium_spark.plans.lake import LakeTable, bucket_expr
+
+
+def compact(
+    table: LakeTable,
+    min_files_per_bucket: int = 2,
+    expire_tombstones_below_lsn: int | None = None,
+) -> dict:
+    """Rewrite fragmented buckets; optionally drop tombstones whose
+    _lsn is below the safe horizon (no event older than it can still
+    arrive). Commits one new snapshot; a concurrent reader of the old
+    snapshot is unaffected (immutable files)."""
+    snap = table.current()
+    per_bucket: dict[int, int] = {}
+    for f in snap.files:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    fragmented = sorted(
+        b for b, n in per_bucket.items() if n >= min_files_per_bucket
+    )
+    if not fragmented and expire_tombstones_below_lsn is None:
+        return {"compacted_buckets": 0, "snapshot_id": snap.snapshot_id}
+    targets = fragmented or sorted(per_bucket)
+
+    df = table._read_files(
+        snap, [f for f in snap.files if f["bucket"] in set(targets)], None
+    )
+    if (
+        expire_tombstones_below_lsn is not None
+        and "_deleted" in df.columns
+    ):
+        df = df.filter(
+            ~(
+                F.coalesce(F.col("_deleted"), F.lit(False))
+                & (F.col("_lsn") < F.lit(expire_tombstones_below_lsn))
+            )
+        )
+    df = df.withColumn(
+        "_bucket", bucket_expr(snap.key_cols, snap.n_buckets)
+    ).repartition(max(len(targets), 1), F.col("_bucket"))
+    new_files = table.write_bucket_data(df, snap.snapshot_id + 1, tag="compact")
+    out = table.commit(
+        new_files,
+        replaced_buckets=set(targets),
+        schema=snap.schema(),
+        epoch_id=None,
+        properties={"compacted": True},
+    )
+    return {
+        "compacted_buckets": len(targets),
+        "files_before": sum(per_bucket[b] for b in targets),
+        "files_after": len(new_files),
+        "snapshot_id": out.snapshot_id,
+    }

@@ -37,31 +37,61 @@ def plan_epochs(
     Returns [{"lo": exclusive, "hi": inclusive, "buckets": [...]}, ...]
     — the bucket list lets the epoch read prune partitions outright.
     """
-    remaining = read_after(spark, log_dir, last_lsn)
-    # bucket-level stats: tiny result (one row per partition dir)
-    stats = (
-        remaining.groupBy("lsn_bucket")
-        .agg(F.count("*").alias("n"), F.max("lsn").alias("hi"))
-        .orderBy("lsn_bucket")
-        .collect()
-    )
+    stats = _bucket_stats(log_dir, last_lsn)
     epochs: list[dict] = []
     lo = last_lsn
     acc = 0
     buckets: list[int] = []
-    for row in stats:
-        acc += row["n"]
-        buckets.append(row["lsn_bucket"])
+    for bucket, n, hi in stats:
+        acc += n
+        buckets.append(bucket)
         if acc >= max_events_per_batch:
-            epochs.append({"lo": lo, "hi": row["hi"], "buckets": buckets})
-            lo = row["hi"]
+            epochs.append({"lo": lo, "hi": hi, "buckets": buckets, "n": acc})
+            lo = hi
             acc = 0
             # epochs close on bucket boundaries (hi = bucket max), so
             # the closed bucket is fully consumed
             buckets = []
     if acc > 0:
-        epochs.append({"lo": lo, "hi": stats[-1]["hi"], "buckets": buckets})
+        epochs.append(
+            {"lo": lo, "hi": stats[-1][2], "buckets": buckets, "n": acc}
+        )
     return epochs
+
+
+def _bucket_stats(log_dir: str, last_lsn: int) -> list[tuple[int, int, int]]:
+    """Per-bucket (bucket, n_remaining, max_lsn) from parquet FOOTER
+    metadata only — planning a 10^10-event replay reads zero data
+    pages, just file statistics (the same trick Iceberg manifests
+    pull). Approximation: a bucket whose max_lsn > last_lsn counts all
+    its rows; fine because epochs close on bucket boundaries, so a
+    resume never lands mid-bucket."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(log_dir)):
+        if not name.startswith("lsn_bucket="):
+            continue
+        bucket = int(name.split("=")[1])
+        n = 0
+        hi = None
+        for f in os.listdir(os.path.join(log_dir, name)):
+            if not f.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(log_dir, name, f))
+            md = pf.metadata
+            n += md.num_rows
+            idx = pf.schema_arrow.get_field_index("lsn")
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(idx)
+                if col.statistics and col.statistics.has_min_max:
+                    mx = col.statistics.max
+                    hi = mx if hi is None else max(hi, mx)
+        if hi is not None and hi > last_lsn:
+            out.append((bucket, n, hi))
+    return sorted(out)
 
 
 def read_range(

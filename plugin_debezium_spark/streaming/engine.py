@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,7 +60,6 @@ class EngineConfig:
     db_include: str | None = None
     table_include: str | None = None
     write_metrics: bool = True
-    extra_table_cols: tuple = ()
     # envelope logs are highly compressible (JSON payloads): a 10 MB
     # parquet split expands to ~100 MB of parse work, so scan splits
     # must be much smaller than the 128 MB default or a micro-batch
@@ -69,6 +68,13 @@ class EngineConfig:
     # out-of-order-safe merge (LWW reduce + tombstones); required when
     # batches may not arrive in LSN order (streaming file source)
     lww_guard: bool = False
+    # two-pass dedupe: pass 1 shuffles only (key, lsn) to find winner
+    # LSNs, pass 2 broadcast-semi-joins on lsn BEFORE parsing — the
+    # 1.5 KB payloads never shuffle and losers are never JSON-parsed.
+    # Used when the epoch's event count ≤ this limit (winner-LSN
+    # broadcast stays small); bigger epochs fall back to the one-pass
+    # partial-aggregate dedupe.
+    twopass_dedupe_limit: int = 20_000_000
 
 
 def ensure_table(spark: SparkSession, cfg: EngineConfig) -> LakeTable:
@@ -152,6 +158,7 @@ def apply_epoch(
     lo: int,
     hi: int,
     buckets: list[int] | None = None,
+    n_events: int | None = None,
 ) -> dict:
     events = read_range(spark, cfg.log_dir, lo, hi, buckets)
     events = drop_ddl(events)
@@ -159,8 +166,55 @@ def apply_epoch(
         events, db_include=cfg.db_include, table_include=cfg.table_include
     )
     if cfg.decode_mode == "variant":
-        return _apply_epoch_variant(spark, table, cfg, epoch_id, hi, events)
+        return _apply_epoch_variant(
+            spark, table, cfg, epoch_id, hi, events, n_events
+        )
     return _apply_epoch_json(spark, table, cfg, epoch_id, hi, events)
+
+
+def prepare_latest(
+    table: LakeTable,
+    cfg: EngineConfig,
+    events: DataFrame,
+    n_events: int | None,
+) -> DataFrame:
+    """Parse + LWW-dedupe an epoch's events into the cached winner set.
+
+    Depends ONLY on the log (variants are schema-free; the schema-
+    dependent cast happens later), so the driver loop can prefetch the
+    next epoch's winners in a background thread while the current
+    epoch merges.
+    """
+    from plugin_debezium_spark.plans.lake import bucket_expr
+
+    nb = table.current().n_buckets
+    base_cols = [
+        F.col("key.repo").alias("repo"),
+        F.col("key.path").alias("path"),
+        F.col("key.commit").alias("commit"),
+        "lsn",
+        "ts_ms",
+        "op",
+        "source",
+    ]
+    if n_events is not None and n_events <= cfg.twopass_dedupe_limit:
+        # two-pass dedupe: payloads never shuffle, losers never parse.
+        # pass 1 reads only key+lsn columns (column pruning: no JSON),
+        # winner LSNs broadcast into a semi-join ahead of parse_json.
+        slim = events.select(*base_cols[:3], F.col("lsn"))
+        winner_lsns = (
+            slim.groupBy(*KEY_COLS).agg(F.max("lsn").alias("lsn")).select("lsn")
+        )
+        return (
+            events.join(F.broadcast(winner_lsns), "lsn", "left_semi")
+            .select(*base_cols, F.parse_json(F.col("after_json")).alias("_av"))
+            .withColumn("_bucket", bucket_expr(KEY_COLS, nb))
+            .cache()
+        )
+    work = events.select(
+        *base_cols, F.parse_json(F.col("after_json")).alias("_av")
+    ).withColumn("_bucket", bucket_expr(KEY_COLS, nb))
+    return latest_by_key(work, KEY_COLS, cfg.n_salts).cache()
 
 
 def _apply_epoch_variant(
@@ -170,6 +224,8 @@ def _apply_epoch_variant(
     epoch_id: int,
     hi: int,
     events: DataFrame,
+    n_events: int | None = None,
+    prepared: DataFrame | None = None,
 ) -> dict:
     """Fast path. Order of operations is the whole trick:
 
@@ -185,18 +241,11 @@ def _apply_epoch_variant(
     from plugin_debezium_spark.plans.lake import bucket_expr
     from plugin_debezium_spark.plans.merge import merge_prepared
 
-    nb = table.current().n_buckets
-    work = events.select(
-        F.col("key.repo").alias("repo"),
-        F.col("key.path").alias("path"),
-        F.col("key.commit").alias("commit"),
-        "lsn",
-        "ts_ms",
-        "op",
-        "source",
-        F.parse_json(F.col("after_json")).alias("_av"),
-    ).withColumn("_bucket", bucket_expr(KEY_COLS, nb))
-    latest = latest_by_key(work, KEY_COLS, cfg.n_salts).cache()
+    latest = (
+        prepared
+        if prepared is not None
+        else prepare_latest(table, cfg, events, n_events)
+    )
     try:
         t0 = time.time()
         agg = latest.agg(
@@ -298,20 +347,75 @@ def run(spark: SparkSession, cfg: EngineConfig) -> dict:
     next_epoch = int(props.get("last_epoch_id", -1)) + 1
 
     epochs = plan_epochs(spark, cfg.log_dir, last_lsn, cfg.max_events_per_batch)
-    applied = []
-    for i, ep in enumerate(epochs):
-        if cfg.max_batches is not None and i >= cfg.max_batches:
-            break
-        if (
-            cfg.max_duration_s is not None
-            and time.time() - t0 > cfg.max_duration_s
-        ):
-            break
-        applied.append(
-            apply_epoch(
-                spark, table, cfg, next_epoch + i, ep["lo"], ep["hi"], ep["buckets"]
-            )
+    if cfg.max_batches is not None:
+        epochs = epochs[: cfg.max_batches]
+
+    def _events_of(ep) -> DataFrame:
+        ev = read_range(spark, cfg.log_dir, ep["lo"], ep["hi"], ep["buckets"])
+        ev = drop_ddl(ev)
+        return include_exclude(
+            ev, db_include=cfg.db_include, table_include=cfg.table_include
         )
+
+    applied = []
+    if cfg.decode_mode == "variant":
+        # Pipelined loop: the next epoch's parse+dedupe (schema-free)
+        # materializes in a background thread while the current epoch
+        # merges — hides the winner-set computation behind the write
+        # jobs (Spark's scheduler runs both job sets concurrently).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _prefetch(ep) -> DataFrame:
+            d = prepare_latest(table, cfg, _events_of(ep), ep.get("n"))
+            d.count()  # materialize the cache
+            return d
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            pending = ex.submit(_prefetch, epochs[0]) if epochs else None
+            for i, ep in enumerate(epochs):
+                if (
+                    cfg.max_duration_s is not None
+                    and time.time() - t0 > cfg.max_duration_s
+                ):
+                    pending.result().unpersist()
+                    break
+                prepared = pending.result()
+                pending = (
+                    ex.submit(_prefetch, epochs[i + 1])
+                    if i + 1 < len(epochs)
+                    else None
+                )
+                applied.append(
+                    _apply_epoch_variant(
+                        spark,
+                        table,
+                        cfg,
+                        next_epoch + i,
+                        ep["hi"],
+                        _events_of(ep),
+                        ep.get("n"),
+                        prepared=prepared,
+                    )
+                )
+    else:
+        for i, ep in enumerate(epochs):
+            if (
+                cfg.max_duration_s is not None
+                and time.time() - t0 > cfg.max_duration_s
+            ):
+                break
+            applied.append(
+                apply_epoch(
+                    spark,
+                    table,
+                    cfg,
+                    next_epoch + i,
+                    ep["lo"],
+                    ep["hi"],
+                    ep["buckets"],
+                    ep.get("n"),
+                )
+            )
     return {
         "batches_applied": len(applied),
         "epochs": applied,

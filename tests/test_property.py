@@ -1,0 +1,90 @@
+"""Property-based check: for ANY event stream and ANY batch split, the
+engine's merge semantics equal a trivial python dict model.
+
+Goes beyond the reference's example-based e2e tests (SURVEY.md §5: it
+has no property tests) — hypothesis explores orderings and op mixes a
+fixed fixture can't, incl. delete-then-reinsert, multiple updates per
+key in one batch, and out-of-order batch delivery (lww_guard mode).
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from plugin_debezium_spark.plans.lake import LakeTable
+from plugin_debezium_spark.plans.merge import merge_batch
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("_lsn", T.LongType(), True),
+        T.StructField("_ts_ms", T.LongType(), True),
+        T.StructField("_deleted", T.BooleanType(), True),
+    ]
+)
+
+# an event: (key_id 0..5, op, payload version)
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 5), st.sampled_from(["c", "u", "d"])),
+    min_size=1,
+    max_size=24,
+)
+split_strategy = st.integers(1, 4)
+shuffle_batches = st.booleans()
+
+
+def _python_model(events):
+    state = {}
+    for lsn, (k, op) in enumerate(events):
+        if op == "d":
+            state.pop(k, None)
+        else:
+            state[k] = f"v{lsn}"
+    return state
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy, n_batches=split_strategy, reverse=shuffle_batches)
+def test_merge_equals_python_model(spark, tmp_path_factory, events, n_batches, reverse):
+    tmp = tmp_path_factory.mktemp("prop")
+    t = LakeTable.create(spark, str(tmp / "t"), SCHEMA, n_buckets=4)
+
+    rows = [
+        (f"r{k}", f"p{k}", "c0", None if op == "d" else f"v{lsn}", lsn, lsn, op)
+        for lsn, (k, op) in enumerate(events)
+    ]
+    # split into contiguous LSN batches; optionally deliver them in
+    # REVERSE order (exercises the out-of-order lww_guard + tombstones)
+    size = max(1, len(rows) // n_batches)
+    batches = [rows[i : i + size] for i in range(0, len(rows), size)]
+    order = list(reversed(batches)) if reverse else batches
+    for i, b in enumerate(order):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                b,
+                columns=[
+                    "repo", "path", "commit", "content", "_lsn", "_ts_ms", "op",
+                ],
+            ),
+            schema="repo string, path string, commit string, content string,"
+            " _lsn long, _ts_ms long, op string",
+        )
+        merge_batch(
+            t, df, epoch_id=i, last_lsn=max(r[4] for r in b), lww_guard=True
+        )
+
+    got = {
+        r["repo"]: r["content"]
+        for r in t.read().collect()
+    }
+    want = {f"r{k}": v for k, v in _python_model(events).items()}
+    assert got == want
