@@ -185,6 +185,32 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_dedupe_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 via the window formulation (row_number over LSN desc) — the
+    north rule's literal wording; same oracle as the aggregate path."""
+    from plugin_debezium_spark.operators.dedupe import dedupe_window
+
+    env = envelopes_from_events(spark, sf_dir)
+    latest = dedupe_window(env, ("repo", "path", "commit"))
+    return latest.filter(F.col("op") != "d").select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.sha2("content", 256).alias("content_sha256"),
+        F.col("lsn").alias("last_lsn"),
+    )
+
+
+def cdc_column_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 column lists — projection pruned to the scan."""
+    from plugin_debezium_spark.operators.filters import column_projection
+
+    env = envelopes_from_events(spark, sf_dir)
+    return column_projection(env, ["repo", "path", "lsn", "op"])
+
+
 def cdc_op_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2/F3 — op filter + deleted DROP policy, counts by op."""
     from plugin_debezium_spark.operators.filters import (
@@ -343,6 +369,11 @@ ORACLES: dict[str, str] = {
     "cdc_final_state": FINAL_STATE_SQL,
     "cdc_final_state_salted": FINAL_STATE_SQL,
     "cdc_replay_final_state": FINAL_STATE_SQL,
+    "cdc_dedupe_window": FINAL_STATE_SQL,
+    "cdc_column_projection": f"""
+WITH {ENV_SQL}
+SELECT repo, path, lsn, op FROM env
+""",
     "cdc_op_filter_counts": f"""
 WITH {ENV_SQL}
 SELECT op, count(*) AS n FROM env
@@ -401,6 +432,8 @@ QUERIES = {
     "cdc_final_state": cdc_final_state,
     "cdc_final_state_salted": cdc_final_state_salted,
     "cdc_replay_final_state": cdc_replay_final_state,
+    "cdc_dedupe_window": cdc_dedupe_window,
+    "cdc_column_projection": cdc_column_projection,
     "cdc_op_filter_counts": cdc_op_filter_counts,
     "cdc_add_deleted_counts": cdc_add_deleted_counts,
     "cdc_route_counts": cdc_route_counts,

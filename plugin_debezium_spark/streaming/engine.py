@@ -197,7 +197,14 @@ def prepare_latest(
         "op",
         "source",
     ]
-    if n_events is not None and n_events <= cfg.twopass_dedupe_limit:
+    # explicit salting implies the one-pass salted aggregate; the
+    # two-pass variant needs no salt (pass 1 is a fully-combinable max
+    # over 24-byte rows)
+    if (
+        cfg.n_salts <= 1
+        and n_events is not None
+        and n_events <= cfg.twopass_dedupe_limit
+    ):
         # two-pass dedupe: payloads never shuffle, losers never parse.
         # pass 1 reads only key+lsn columns (column pruning: no JSON),
         # winner LSNs broadcast into a semi-join ahead of parse_json.
