@@ -40,7 +40,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode = one JVM for everything; execution memory must
+        # scale with concurrent tasks (~0.5 GB/core floor, 8 GB min)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", f"{max(8, cores // 2)}g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -71,10 +71,13 @@ class EngineConfig:
     # two-pass dedupe: pass 1 shuffles only (key, lsn) to find winner
     # LSNs, pass 2 broadcast-semi-joins on lsn BEFORE parsing — the
     # 1.5 KB payloads never shuffle and losers are never JSON-parsed.
-    # Used when the epoch's event count ≤ this limit (winner-LSN
-    # broadcast stays small); bigger epochs fall back to the one-pass
-    # partial-aggregate dedupe.
+    # Candidate when the epoch's event count ≤ twopass_dedupe_limit;
+    # committed only after pass 1 counts the ACTUAL winners ≤
+    # winner_broadcast_limit (a 6.4M-winner broadcast OOMs an 8g
+    # driver — found by the 64M soak). Otherwise the one-pass
+    # partial-aggregate dedupe runs.
     twopass_dedupe_limit: int = 20_000_000
+    winner_broadcast_limit: int = 2_000_000
 
 
 def ensure_table(spark: SparkSession, cfg: EngineConfig) -> LakeTable:
@@ -206,18 +209,29 @@ def prepare_latest(
         and n_events <= cfg.twopass_dedupe_limit
     ):
         # two-pass dedupe: payloads never shuffle, losers never parse.
-        # pass 1 reads only key+lsn columns (column pruning: no JSON),
-        # winner LSNs broadcast into a semi-join ahead of parse_json.
+        # pass 1 reads only key+lsn columns (column pruning: no JSON);
+        # its winner count decides whether the broadcast is safe.
         slim = events.select(*base_cols[:3], F.col("lsn"))
         winner_lsns = (
-            slim.groupBy(*KEY_COLS).agg(F.max("lsn").alias("lsn")).select("lsn")
-        )
-        return (
-            events.join(F.broadcast(winner_lsns), "lsn", "left_semi")
-            .select(*base_cols, F.parse_json(F.col("after_json")).alias("_av"))
-            .withColumn("_bucket", bucket_expr(KEY_COLS, nb))
+            slim.groupBy(*KEY_COLS)
+            .agg(F.max("lsn").alias("lsn"))
+            .select("lsn")
             .cache()
         )
+        n_winners = winner_lsns.count()  # cheap: narrow columns only
+        if n_winners <= cfg.winner_broadcast_limit:
+            latest = (
+                events.join(F.broadcast(winner_lsns), "lsn", "left_semi")
+                .select(
+                    *base_cols, F.parse_json(F.col("after_json")).alias("_av")
+                )
+                .withColumn("_bucket", bucket_expr(KEY_COLS, nb))
+                .cache()
+            )
+            # released with the epoch (apply's finally unpersists both)
+            latest._winner_lsns = winner_lsns
+            return latest
+        winner_lsns.unpersist()
     work = events.select(
         *base_cols, F.parse_json(F.col("after_json")).alias("_av")
     ).withColumn("_bucket", bucket_expr(KEY_COLS, nb))
@@ -293,6 +307,8 @@ def _apply_epoch_variant(
         return stats
     finally:
         latest.unpersist()
+        if hasattr(latest, "_winner_lsns"):
+            latest._winner_lsns.unpersist()
 
 
 def _apply_epoch_json(
