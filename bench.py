@@ -205,6 +205,16 @@ configurable via SPARK_GRAFT_SCALING_CORES.
 
 Per-query wall seconds at sf={result['sf']} are in the driver's
 BENCH_r{{N}}.json (`queries` map).
+
+## Soak (robustness at 4x bench scale, one-time measurement)
+
+64,000,000 events (11 GB log, 6.4M keys, 4 epochs of 16M) replayed on
+local[32] with the default 16 GB heap: 212 s wall = 302k events/s
+sustained, final table 5,762,478 rows, offsets/lineage correct.
+Exercises the adaptive dedupe gate (6.4M winners > broadcast limit →
+one-pass path) and the >2M-key shuffle anti-join fallback in the
+merge. An earlier run of the same soak exposed and fixed a
+winner-broadcast OOM — see streaming/engine.py EngineConfig.
 """
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
     with open(

@@ -118,6 +118,32 @@ class LakeTable:
         with open(os.path.join(self.meta_dir, name)) as f:
             return Snapshot.from_json(f.read())
 
+    def snapshot(self, snapshot_id: int) -> Snapshot:
+        """Load a historical snapshot (manifests are immutable)."""
+        with open(
+            os.path.join(self.meta_dir, f"v{snapshot_id:08d}.json")
+        ) as f:
+            return Snapshot.from_json(f.read())
+
+    def snapshots(self) -> list[int]:
+        return sorted(
+            int(n[1:9])
+            for n in os.listdir(self.meta_dir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def read_at(
+        self, snapshot_id: int, include_deleted: bool = False
+    ) -> DataFrame:
+        """Time travel: read the table as of a past snapshot/epoch —
+        data files are immutable, so any retained snapshot stays
+        consistent (Iceberg-spec semantics)."""
+        snap = self.snapshot(snapshot_id)
+        df = self._read_files(snap, snap.files, None)
+        if not include_deleted and "_deleted" in df.columns:
+            df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        return df
+
     # -- read --------------------------------------------------------------
 
     def read(

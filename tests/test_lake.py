@@ -156,6 +156,22 @@ def test_lww_guard_out_of_order_and_tombstones(spark, tmp_path):
     assert len(with_tombs) == 2
 
 
+def test_time_travel_reads(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    merge_batch(
+        t, _batch(spark, [("r", "a", "c1", "v1", "c")]), epoch_id=0, last_lsn=1
+    )
+    merge_batch(
+        t, _batch(spark, [("r", "a", "c1", "v2", "u")]), epoch_id=1, last_lsn=2
+    )
+    assert t.snapshots() == [0, 1, 2]
+    assert t.read_at(1).collect()[0]["content"] == "v1"
+    assert t.read_at(2).collect()[0]["content"] == "v2"
+    assert t.read_at(0).count() == 0  # empty table at creation
+    # historical snapshot properties preserve the offset history
+    assert t.snapshot(1).properties["last_lsn"] == 1
+
+
 def test_evolve_schema_unit():
     t1 = T.StructType([T.StructField("a", T.LongType(), True)])
     b = T.StructType(
