@@ -29,11 +29,22 @@ def _dcol(name: str) -> str:
 
 
 def cosine_expr(a: str, b: str) -> str:
+    """Self-contained cosine (norms inline). For joins prefer
+    norm_expr-precomputed columns + dot_over_norms — norms are
+    per-vector, not per-pair."""
     da, db = _dcol(a), _dcol(b)
     return (
         f"{DOT.format(a=da, b=db)} / "
         f"(({NORM.format(a=da)}) * ({NORM.format(a=db)}))"
     )
+
+
+def norm_expr(a: str) -> str:
+    return NORM.format(a=_dcol(a))
+
+
+def dot_over_norms(a: str, b: str, norm_a: str, norm_b: str) -> str:
+    return f"{DOT.format(a=_dcol(a), b=_dcol(b))} / ({norm_a} * {norm_b})"
 
 
 def brute_force_topk(
@@ -47,13 +58,17 @@ def brute_force_topk(
     broadcast); the corpus is scanned once, no shuffle until the
     per-query top-k (tiny after the filter)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(norm_expr(vec_col)).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.expr(norm_expr(vec_col)).alias("cn"),
     )
     scored = c.join(F.broadcast(q)).withColumn(
-        "cosine", F.expr(cosine_expr("qvec", "cvec"))
+        "cosine", F.expr(dot_over_norms("qvec", "cvec", "qn", "cn"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -107,15 +122,17 @@ def lsh_topk(
     q = qb.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        F.expr(norm_expr(vec_col)).alias("qn"),
         F.col("bucket"),
     )
     c = cb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        F.expr(norm_expr(vec_col)).alias("cn"),
         F.col("bucket"),
     )
     scored = c.join(F.broadcast(q), "bucket").withColumn(
-        "cosine", F.expr(cosine_expr("qvec", "cvec"))
+        "cosine", F.expr(dot_over_norms("qvec", "cvec", "qn", "cn"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -139,15 +156,21 @@ def cosine_neardup_pairs(
     cosine computed only within buckets."""
     b = hyperplane_signature(df, dim, n_planes, vec_col=vec_col)
     a_side = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.expr(norm_expr(vec_col)).alias("na"),
+        "bucket",
     )
     b_side = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.expr(norm_expr(vec_col)).alias("nb"),
+        "bucket",
     )
     return (
         a_side.join(b_side, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.expr(cosine_expr("va", "vb")))
+        .withColumn("cosine", F.expr(dot_over_norms("va", "vb", "na", "nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -152,6 +152,33 @@ def emb_topk_lsh(spark, sf_dir):
     ).select("query_id", "rank", "neighbor_id")
 
 
+def emb_neardup_pairs_exact(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact all-pairs variant
+    (the LSH-bucketed scale path is emb_topk_lsh / cosine_neardup_pairs).
+    Threshold filter uses identical double arithmetic on both engines."""
+    from plugin_debezium_spark.operators.similarity import (
+        dot_over_norms,
+        norm_expr,
+    )
+
+    e = _embs(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.expr(norm_expr("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.expr(norm_expr("embedding")).alias("nb"),
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.expr(dot_over_norms("va", "vb", "na", "nb")) >= 0.3)
+        .select("id_a", "id_b")
+    )
+
+
 def multimodal_features(spark, sf_dir):
     media = attach_binary_payload(
         _docs(spark, sf_dir), src_col="text", media_id_col="doc_id"
@@ -274,6 +301,15 @@ SELECT doc_id,
          i -> substr(sha256(substr(text, i, 8)), 1, 16))) AS fingerprint
 FROM documents
 """,
+    "emb_neardup_pairs_exact": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.3
+""",
     "emb_topk_bruteforce": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
@@ -340,5 +376,6 @@ DATA_QUERIES = {
     "text_fingerprint": text_fingerprint,
     "emb_topk_bruteforce": emb_topk_bruteforce,
     "emb_topk_lsh": emb_topk_lsh,
+    "emb_neardup_pairs_exact": emb_neardup_pairs_exact,
     "multimodal_features": multimodal_features,
 }

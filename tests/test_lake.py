@@ -72,6 +72,37 @@ def test_bucket_pruned_read(spark, tmp_path):
     assert 0 < pruned.count() < 50
 
 
+def test_existing_column_int_to_long_widening(spark, tmp_path):
+    """FIXTURES v3: a column created as int widens to long when a
+    batch carries 64-bit values; old int files read back casted."""
+    schema_int = T.StructType(
+        SCHEMA.fields + [T.StructField("size_bytes", T.IntegerType(), True)]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema_int, n_buckets=2)
+    b1 = spark.createDataFrame(
+        pd.DataFrame(
+            [("r", "a", "c1", "x", 100, "c")],
+            columns=["repo", "path", "commit", "content", "size_bytes", "op"],
+        ),
+        schema="repo string, path string, commit string, content string,"
+        " size_bytes int, op string",
+    )
+    merge_batch(t, b1, epoch_id=0, last_lsn=1)
+    b2 = spark.createDataFrame(
+        pd.DataFrame(
+            [("r", "b", "c2", "y", 3_000_000_000, "c")],
+            columns=["repo", "path", "commit", "content", "size_bytes", "op"],
+        ),
+        schema="repo string, path string, commit string, content string,"
+        " size_bytes long, op string",
+    )
+    merge_batch(t, b2, epoch_id=1, last_lsn=2)
+    df = t.read()
+    assert df.schema["size_bytes"].dataType == T.LongType()
+    got = {r["path"]: r["size_bytes"] for r in df.collect()}
+    assert got == {"a": 100, "b": 3_000_000_000}
+
+
 def test_mixed_schema_read_and_widening(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=2)
     merge_batch(
