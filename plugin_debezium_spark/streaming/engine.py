@@ -78,6 +78,12 @@ class EngineConfig:
     # partial-aggregate dedupe runs.
     twopass_dedupe_limit: int = 20_000_000
     winner_broadcast_limit: int = 2_000_000
+    # horizontal sharding: (shard_count, shard_index) — this applier
+    # processes only keys with hash(key) % count == index. N appliers
+    # with disjoint shards ingest one stream in parallel (the standard
+    # Kafka-partitioned CDC layout); each owns its own table shard and
+    # the union of shards is the table (key-disjoint by construction).
+    shard: tuple[int, int] | None = None
 
 
 def ensure_table(spark: SparkSession, cfg: EngineConfig) -> LakeTable:
@@ -376,9 +382,19 @@ def run(spark: SparkSession, cfg: EngineConfig) -> dict:
     def _events_of(ep) -> DataFrame:
         ev = read_range(spark, cfg.log_dir, ep["lo"], ep["hi"], ep["buckets"])
         ev = drop_ddl(ev)
-        return include_exclude(
+        ev = include_exclude(
             ev, db_include=cfg.db_include, table_include=cfg.table_include
         )
+        if cfg.shard is not None:
+            count, idx = cfg.shard
+            ev = ev.filter(
+                F.pmod(
+                    F.xxhash64("key.repo", "key.path", "key.commit"),
+                    F.lit(count),
+                )
+                == F.lit(idx)
+            )
+        return ev
 
     applied = []
     if cfg.decode_mode == "variant":

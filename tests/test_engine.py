@@ -134,6 +134,30 @@ def test_salted_dedupe_matches(spark, log_dir, tmp_path):
     assert _final_hashes(spark, table_dir) == golden
 
 
+def test_sharded_appliers_union_equals_full(spark, log_dir, tmp_path):
+    """Horizontal sharding (Kafka-partition-style): N appliers with
+    disjoint key shards; the union of their table shards equals the
+    unsharded final state."""
+    shards = 3
+    union = set()
+    for i in range(shards):
+        td = str(tmp_path / f"shard{i}")
+        run(
+            spark,
+            EngineConfig(
+                log_dir=log_dir,
+                table_dir=td,
+                max_events_per_batch=2_000,
+                write_metrics=False,
+                shard=(shards, i),
+            ),
+        )
+        part = _final_hashes(spark, td)
+        assert not (union & part)  # shards are key-disjoint
+        union |= part
+    assert union == golden_key_hashes(read_log_pandas(log_dir))
+
+
 def test_metrics_lineage_written(spark, log_dir, tmp_path):
     table_dir = str(tmp_path / "tbl")
     run(
