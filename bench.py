@@ -212,6 +212,15 @@ are configurable via SPARK_GRAFT_SCALING_CORES.
 Per-query wall seconds at sf={result['sf']} are in the driver's
 BENCH_r{{N}}.json (`queries` map).
 
+## Skew (hot-key dedupe, one-time measurement)
+
+8M events with ONE key owning 50%% of them (1 KB payloads, local[16]):
+LWW dedupe via the window formulation 2.7 s, one-pass max_by aggregate
+1.8 s, explicit two-phase salted aggregate (n_salts=16) 0.9 s — the
+aggregate's map-side combine absorbs most of the skew and salting
+halves the remainder by spreading the hot key's reduce-side rows
+(operators/dedupe.py; north rule "salt hot repos").
+
 ## Soak (robustness at 4x bench scale, one-time measurement)
 
 64,000,000 events (11 GB log, 6.4M keys, 4 epochs of 16M) replayed on

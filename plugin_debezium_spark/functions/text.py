@@ -116,6 +116,26 @@ def lang_id(col="text") -> Column:
     return best["lang"]
 
 
+EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RX = r"\+?[0-9][0-9\-\s]{7,}[0-9]"
+
+
+def normalize_text(col="text") -> Column:
+    """Curation normalization: trim, collapse whitespace, lowercase —
+    the canonical form exact-dedup should hash."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def scrub_pii(col="text") -> Column:
+    """Redact emails and phone-number-shaped digit runs (training-data
+    hygiene pass; extend the pattern list per policy)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RX, "<EMAIL>"), PHONE_RX, "<PHONE>"
+    )
+
+
 def doc_fingerprint(col="text", k: int = 8, stride: int = 4) -> Column:
     """Winnowing-lite fingerprint: min sha256-prefix over char k-grams
     sampled every `stride` positions. Equal fingerprints ⇒ near-certain

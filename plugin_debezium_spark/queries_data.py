@@ -117,6 +117,20 @@ def text_lang_id(spark, sf_dir):
     )
 
 
+def text_normalize_scrub(spark, sf_dir):
+    """Normalization + PII scrub over documents: the cleaned canonical
+    text plus its dedup hash."""
+    from plugin_debezium_spark.functions.text import normalize_text, scrub_pii
+
+    d = _docs(spark, sf_dir)
+    clean = normalize_text(scrub_pii("text"))
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.sha2(clean, 256).alias("clean_sha256"),
+    )
+
+
 def text_fingerprint(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
@@ -294,6 +308,19 @@ SELECT doc_id,
           + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4 AS BIGINT) AS stop_hits
 FROM documents
 """,
+    "text_normalize_scrub": r"""
+WITH clean AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9][0-9\-\s]{7,}[0-9]', '<PHONE>', 'g')
+         ), '\s+', ' ', 'g')) AS clean_text
+  FROM documents
+)
+SELECT doc_id, clean_text, sha256(clean_text) AS clean_sha256 FROM clean
+""",
     "text_fingerprint": """
 SELECT doc_id,
        list_min(list_transform(
@@ -373,6 +400,7 @@ DATA_QUERIES = {
     "text_token_counts": text_token_counts,
     "text_quality_features": text_quality_features,
     "text_lang_id": text_lang_id,
+    "text_normalize_scrub": text_normalize_scrub,
     "text_fingerprint": text_fingerprint,
     "emb_topk_bruteforce": emb_topk_bruteforce,
     "emb_topk_lsh": emb_topk_lsh,
