@@ -178,17 +178,21 @@ def emb_neardup_pairs_exact(spark, sf_dir):
     e = _embs(spark, sf_dir)
     a = e.select(
         F.col("vec_id").alias("id_a"),
+        F.col("label").alias("la"),
         F.col("embedding").alias("va"),
         F.expr(norm_expr("embedding")).alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lb"),
         F.col("embedding").alias("vb"),
         F.expr(norm_expr("embedding")).alias("nb"),
     )
+    # label-blocking bounds the pair space (classic near-dup blocking;
+    # the unblocked scale path is the LSH variant)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(F.expr(dot_over_norms("va", "vb", "na", "nb")) >= 0.3)
+        a.join(b, (F.col("id_a") < F.col("id_b")) & (F.col("la") == F.col("lb")))
+        .filter(F.expr(dot_over_norms("va", "vb", "na", "nb")) >= 0.25)
         .select("id_a", "id_b")
     )
 
@@ -329,13 +333,13 @@ SELECT doc_id,
 FROM documents
 """,
     "emb_neardup_pairs_exact": """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a, e b
-WHERE a.vec_id < b.vec_id
+WHERE a.vec_id < b.vec_id AND a.label = b.label
   AND list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-      >= 0.3
+      >= 0.25
 """,
     "emb_topk_bruteforce": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
