@@ -65,6 +65,12 @@ def envelope_log_schema() -> T.StructType:
     """Schema of the persisted change log (one parquet dataset,
     partitioned by lsn_bucket, ordered by lsn).
 
+    CONTRACT: ``lsn`` is UNIQUE per event (it is the total order the
+    LWW semantics and the two-pass dedupe rely on). Sources whose
+    native positions can collide (Debezium tx-shared LSNs, ts_ms
+    fallbacks) must disambiguate on import — see
+    sources/debezium_json.import_to_log.
+
     before/after are JSON strings so the log schema never changes even
     when the payload schema evolves (FIXTURES.md §2 v2/v3/v4).
     """

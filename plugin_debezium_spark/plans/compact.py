@@ -33,9 +33,14 @@ def compact(
     fragmented = sorted(
         b for b, n in per_bucket.items() if n >= min_files_per_bucket
     )
-    if not fragmented and expire_tombstones_below_lsn is None:
+    # tombstone expiry must visit EVERY bucket (a tombstone can live in
+    # an unfragmented one); plain compaction visits only fragmented ones
+    if expire_tombstones_below_lsn is not None:
+        targets = sorted(per_bucket)
+    else:
+        targets = fragmented
+    if not targets:
         return {"compacted_buckets": 0, "snapshot_id": snap.snapshot_id}
-    targets = fragmented or sorted(per_bucket)
 
     df = table._read_files(
         snap, [f for f in snap.files if f["bucket"] in set(targets)], None
@@ -54,12 +59,15 @@ def compact(
         "_bucket", bucket_expr(snap.key_cols, snap.n_buckets)
     ).repartition(max(len(targets), 1), F.col("_bucket"))
     new_files = table.write_bucket_data(df, snap.snapshot_id + 1, tag="compact")
+    # expected_parent: a concurrent epoch commit aborts the compaction
+    # (ConcurrentCommitError) instead of silently losing its files
     out = table.commit(
         new_files,
         replaced_buckets=set(targets),
         schema=snap.schema(),
         epoch_id=None,
         properties={"compacted": True},
+        expected_parent=snap.snapshot_id,
     )
     return {
         "compacted_buckets": len(targets),

@@ -45,6 +45,11 @@ from plugin_debezium_spark.models import KEY_COLS
 _CURRENT = "_current"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed since the caller's basis snapshot (or
+    holds the commit lock) — recompute against the new current."""
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -230,13 +235,62 @@ class LakeTable:
         schema: T.StructType | None = None,
         epoch_id: int | None = None,
         properties: dict | None = None,
+        expected_parent: int | None = None,
     ) -> Snapshot:
         """Atomic commit: new snapshot = (old files minus replaced
         buckets) + new files, optionally evolved schema, merged
         properties. The _current pointer swap (os.rename) is the one
         atomic instant — a crash before it leaves the old snapshot
-        fully intact (orphan data files are harmless garbage)."""
+        fully intact (orphan data files are harmless garbage).
+
+        Optimistic concurrency: the whole read-validate-swap runs under
+        an O_EXCL lock file (single-filesystem CAS; an object-store
+        deployment swaps this for a catalog CAS). Pass expected_parent
+        to abort when another writer committed since the caller's basis
+        snapshot (ConcurrentCommitError)."""
+        lock = os.path.join(self.meta_dir, "_commit.lock")
+        fd = None
+        import time as _time
+
+        deadline = _time.time() + 60
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if _time.time() > deadline:
+                    raise ConcurrentCommitError(
+                        f"commit lock held for >60s: {lock}"
+                    )
+                _time.sleep(0.05)
+        try:
+            return self._commit_locked(
+                new_files,
+                replaced_buckets,
+                schema,
+                epoch_id,
+                properties,
+                expected_parent,
+            )
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
+    def _commit_locked(
+        self,
+        new_files: list[dict],
+        replaced_buckets: set[int],
+        schema: T.StructType | None,
+        epoch_id: int | None,
+        properties: dict | None,
+        expected_parent: int | None,
+    ) -> Snapshot:
         prev = self.current()
+        if expected_parent is not None and prev.snapshot_id != expected_parent:
+            raise ConcurrentCommitError(
+                f"basis snapshot {expected_parent} is stale: current is "
+                f"{prev.snapshot_id} — recompute against the new snapshot"
+            )
         schemas = list(prev.schemas)
         schema_id = prev.schema_id
         if schema is not None and schema.jsonValue() != prev.schemas[prev.schema_id]:

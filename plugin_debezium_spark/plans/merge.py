@@ -191,6 +191,7 @@ def merge_prepared(
         schema=new_schema,
         epoch_id=epoch_id,
         properties={"last_lsn": int(last_lsn)},
+        expected_parent=prev.snapshot_id,
     )
     return {
         "skipped": False,
@@ -254,6 +255,7 @@ def _merge_lww_guard(
         schema=new_schema,
         epoch_id=epoch_id,
         properties={"last_lsn": max(int(last_lsn), int(prev.properties.get("last_lsn", -1)))},
+        expected_parent=prev.snapshot_id,
     )
     return {
         "skipped": False,

@@ -109,6 +109,20 @@ def import_to_log(
     sized from the observed LSN range so the log lands in
     ~lsn_buckets partitions."""
     env = from_json_lines(spark, json_path, lsn_fields=lsn_fields)
+    # Enforce the log contract: unique lsn per event. Debezium
+    # positions can collide (tx-shared postgres LSN, ts_ms fallback) —
+    # disambiguate ties deterministically within each lsn group
+    # (partitioned window: scales, no global sort). 16 bits of tie
+    # space bounds groups at 65536 events per source position.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lsn").orderBy(
+        F.col("ts_ms"), F.sha2(F.coalesce("after_json", "before_json"), 256)
+    )
+    env = env.withColumn(
+        "lsn",
+        F.col("lsn") * F.lit(65536) + F.row_number().over(w) - F.lit(1),
+    )
     lo, hi = env.agg(F.min("lsn"), F.max("lsn")).collect()[0]
     span = max(1, (int(hi) - int(lo) + 1) // lsn_buckets)
     env = env.withColumn(

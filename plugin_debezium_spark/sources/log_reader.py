@@ -83,12 +83,31 @@ def _bucket_stats(log_dir: str, last_lsn: int) -> list[tuple[int, int, int]]:
             pf = pq.ParquetFile(os.path.join(log_dir, name, f))
             md = pf.metadata
             n += md.num_rows
-            idx = pf.schema_arrow.get_field_index("lsn")
+            # row-group columns index over FLATTENED leaf columns
+            # (struct fields count) — locate lsn by its schema path,
+            # never by a top-level field index
+            rg0 = md.row_group(0)
+            idx = next(
+                (
+                    i
+                    for i in range(rg0.num_columns)
+                    if rg0.column(i).path_in_schema == "lsn"
+                ),
+                None,
+            )
+            if idx is None:
+                raise ValueError(f"log file has no 'lsn' column: {f}")
             for rg in range(md.num_row_groups):
                 col = md.row_group(rg).column(idx)
                 if col.statistics and col.statistics.has_min_max:
                     mx = col.statistics.max
                     hi = mx if hi is None else max(hi, mx)
+            if hi is None:
+                raise ValueError(
+                    f"parquet statistics missing for lsn in {f} — epoch "
+                    "planning needs column min/max (write with stats "
+                    "enabled, the parquet default)"
+                )
         if hi is not None and hi > last_lsn:
             out.append((bucket, n, hi))
     return sorted(out)

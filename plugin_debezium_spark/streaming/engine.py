@@ -159,6 +159,32 @@ def _variant_ddl_to_struct(ddl: str | None, base: T.StructType) -> T.StructType:
     return merged
 
 
+def filter_events(cfg: EngineConfig, events: DataFrame) -> DataFrame:
+    """The per-epoch ingest filters, shared by the batch loop, the
+    direct apply path, and the streaming foreachBatch (one definition
+    so the paths can't diverge): DDL drop, include/exclude, and the
+    key-shard ownership filter."""
+    events = drop_ddl(events)
+    events = include_exclude(
+        events, db_include=cfg.db_include, table_include=cfg.table_include
+    )
+    if cfg.shard is not None:
+        count, idx = cfg.shard
+        # seeded (extra literal) so shard assignment is NOT correlated
+        # with bucket_expr's unseeded hash of the same columns — else
+        # each shard would populate only n_buckets/count buckets
+        events = events.filter(
+            F.pmod(
+                F.xxhash64(
+                    F.lit(7919), "key.repo", "key.path", "key.commit"
+                ),
+                F.lit(count),
+            )
+            == F.lit(idx)
+        )
+    return events
+
+
 def apply_epoch(
     spark: SparkSession,
     table: LakeTable,
@@ -169,10 +195,8 @@ def apply_epoch(
     buckets: list[int] | None = None,
     n_events: int | None = None,
 ) -> dict:
-    events = read_range(spark, cfg.log_dir, lo, hi, buckets)
-    events = drop_ddl(events)
-    events = include_exclude(
-        events, db_include=cfg.db_include, table_include=cfg.table_include
+    events = filter_events(
+        cfg, read_range(spark, cfg.log_dir, lo, hi, buckets)
     )
     if cfg.decode_mode == "variant":
         return _apply_epoch_variant(
@@ -226,6 +250,10 @@ def prepare_latest(
         )
         n_winners = winner_lsns.count()  # cheap: narrow columns only
         if n_winners <= cfg.winner_broadcast_limit:
+            # CONTRACT: lsn is unique per event (models.envelope_log_schema;
+            # sources/debezium_json.import_to_log enforces it on import) —
+            # a duplicate lsn could smuggle another key's loser through
+            # this semi-join.
             latest = (
                 events.join(F.broadcast(winner_lsns), "lsn", "left_semi")
                 .select(
@@ -367,9 +395,22 @@ def run(spark: SparkSession, cfg: EngineConfig) -> dict:
     observable). Resumable mid-stream: kill it after any batch and the
     next run continues from the snapshot's last_lsn/epoch."""
     t0 = time.time()
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     spark.conf.set(
         "spark.sql.files.maxPartitionBytes", str(cfg.scan_partition_bytes)
     )
+    try:
+        return _run_inner(spark, cfg, t0)
+    finally:
+        # don't leak the engine's scan-split tuning to unrelated work
+        # in the same session
+        if prev_split is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+        else:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+
+def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
     table = ensure_table(spark, cfg)
     props = table.current().properties
     last_lsn = int(props.get("last_lsn", -1))
@@ -380,21 +421,9 @@ def run(spark: SparkSession, cfg: EngineConfig) -> dict:
         epochs = epochs[: cfg.max_batches]
 
     def _events_of(ep) -> DataFrame:
-        ev = read_range(spark, cfg.log_dir, ep["lo"], ep["hi"], ep["buckets"])
-        ev = drop_ddl(ev)
-        ev = include_exclude(
-            ev, db_include=cfg.db_include, table_include=cfg.table_include
+        return filter_events(
+            cfg, read_range(spark, cfg.log_dir, ep["lo"], ep["hi"], ep["buckets"])
         )
-        if cfg.shard is not None:
-            count, idx = cfg.shard
-            ev = ev.filter(
-                F.pmod(
-                    F.xxhash64("key.repo", "key.path", "key.commit"),
-                    F.lit(count),
-                )
-                == F.lit(idx)
-            )
-        return ev
 
     applied = []
     if cfg.decode_mode == "variant":
@@ -416,7 +445,10 @@ def run(spark: SparkSession, cfg: EngineConfig) -> dict:
                     cfg.max_duration_s is not None
                     and time.time() - t0 > cfg.max_duration_s
                 ):
-                    pending.result().unpersist()
+                    leftover = pending.result()
+                    leftover.unpersist()
+                    if hasattr(leftover, "_winner_lsns"):
+                        leftover._winner_lsns.unpersist()
                     break
                 prepared = pending.result()
                 pending = (

@@ -23,6 +23,7 @@ from plugin_debezium_spark.streaming.engine import (
     EngineConfig,
     _apply_epoch_variant,
     ensure_table,
+    filter_events,
 )
 
 
@@ -54,6 +55,9 @@ def stream_log(
     )
 
     def _apply(batch_df, batch_id: int) -> None:
+        # same ingest filters as the batch engine (DDL drop,
+        # include/exclude, shard) — the two paths must not diverge
+        batch_df = filter_events(cfg, batch_df)
         if batch_df.isEmpty():
             return
         hi = batch_df.agg(F.max("lsn")).collect()[0][0]

@@ -68,6 +68,35 @@ def test_envelope_parsing(spark, dump):
     assert rows[13]["key"]["repo"] == "org/a"
 
 
+def test_duplicate_source_lsns_disambiguated(spark, tmp_path):
+    """Debezium positions can collide (tx-shared LSN / ts_ms fallback);
+    import must mint unique LSNs preserving (lsn, ts_ms) order so the
+    engine's unique-lsn contract holds."""
+    k = {"repo": "org/a", "path": "x.py", "commit": "c1"}
+    lines = [
+        _value("c", 100, k, "v1"),
+        _value("u", 100, k, "v2"),  # same source lsn, later ts_ms
+        _value("u", 50, k, "v0"),  # earlier position
+    ]
+    # force distinct ts_ms within the collision by re-encoding
+    docs = [json.loads(ln)["payload"] for ln in lines]
+    docs[0]["ts_ms"] = 1000
+    docs[1]["ts_ms"] = 2000
+    docs[2]["ts_ms"] = 500
+    p = tmp_path / "dup.jsonl"
+    p.write_text("\n".join(json.dumps({"payload": d}) for d in docs) + "\n")
+    log = import_to_log(spark, str(p), str(tmp_path / "log"), lsn_buckets=2)
+    env = spark.read.parquet(log)
+    lsns = [r["lsn"] for r in env.collect()]
+    assert len(lsns) == len(set(lsns))  # unique
+    cfg = EngineConfig(
+        log_dir=log, table_dir=str(tmp_path / "t"), write_metrics=False
+    )
+    run(spark, cfg)
+    rows = LakeTable(spark, cfg.table_dir).read().collect()
+    assert len(rows) == 1 and rows[0]["content"] == "v2"  # later ts wins
+
+
 def test_debezium_dump_replays_to_final_state(spark, dump, tmp_path):
     log = import_to_log(spark, dump, str(tmp_path / "log"), lsn_buckets=4)
     cfg = EngineConfig(

@@ -187,6 +187,25 @@ def test_lww_guard_out_of_order_and_tombstones(spark, tmp_path):
     assert len(with_tombs) == 2
 
 
+def test_concurrent_commit_rejected(spark, tmp_path):
+    """Optimistic concurrency: a commit based on a stale snapshot is
+    refused instead of silently overwriting the newer one."""
+    from plugin_debezium_spark.plans.lake import ConcurrentCommitError
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    merge_batch(
+        t, _batch(spark, [("r", "a", "c1", "x", "c")]), epoch_id=0, last_lsn=1
+    )
+    basis = t.current().snapshot_id
+    merge_batch(
+        t, _batch(spark, [("r", "b", "c2", "y", "c")]), epoch_id=1, last_lsn=2
+    )
+    with pytest.raises(ConcurrentCommitError):
+        t.commit([], set(), expected_parent=basis)
+    # rows from the "interleaved" commit are intact
+    assert t.read().count() == 2
+
+
 def test_time_travel_reads(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=2)
     merge_batch(
