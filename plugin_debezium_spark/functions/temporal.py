@@ -44,8 +44,9 @@ def micro_timestamp(col) -> Column:
 
 def nano_timestamp(col) -> Column:
     """ns → TimestampType; sub-µs truncates (documented lossy edge,
-    same as the reference's Instant truncation to nanos vs our µs)."""
-    return F.timestamp_micros((_c(col) / 1000).cast("long"))
+    same as the reference's Instant truncation to nanos vs our µs).
+    Integer division: a double round-trip corrupts epoch-ns (>2^53)."""
+    return F.timestamp_micros(F.expr(f"{_name(col)} div 1000"))
 
 
 def time_ms(col) -> Column:
@@ -61,7 +62,7 @@ def micro_time(col) -> Column:
 
 def nano_time(col) -> Column:
     return F.date_format(
-        F.timestamp_micros((_c(col) / 1000).cast("long")), "HH:mm:ss.SSSSSS"
+        F.timestamp_micros(F.expr(f"{_name(col)} div 1000")), "HH:mm:ss.SSSSSS"
     )
 
 
@@ -71,9 +72,19 @@ def year_date(col) -> Column:
 
 
 def zoned_timestamp(col) -> Column:
-    """ISO-8601 string with offset → TimestampType normalized to the
-    UTC session zone."""
+    """ISO-8601 datetime string with offset → TimestampType normalized
+    to the UTC session zone."""
     return F.to_timestamp(_c(col))
+
+
+def zoned_time(col) -> Column:
+    """ISO time-of-day string with offset ('10:15:30+02:00') →
+    UTC-normalized 'HH:mm:ss.SSSSSS' string. to_timestamp anchors
+    time-only strings to the CURRENT date, so only the time-of-day is
+    kept — the offset arithmetic is date-independent, making the
+    output deterministic (the reference maps ZonedTime to OffsetTime,
+    a time-of-day type)."""
+    return F.date_format(F.to_timestamp(_c(col)), "HH:mm:ss.SSSSSS")
 
 
 def micro_duration(col) -> Column:
@@ -103,7 +114,7 @@ DEBEZIUM_CONVERTERS = {
     "io.debezium.time.NanoTime": nano_time,
     "io.debezium.time.Year": year_date,
     "io.debezium.time.ZonedTimestamp": zoned_timestamp,
-    "io.debezium.time.ZonedTime": zoned_timestamp,
+    "io.debezium.time.ZonedTime": zoned_time,
     "io.debezium.time.MicroDuration": micro_duration,
     "org.apache.kafka.connect.data.Decimal": decimal_str,
 }

@@ -96,6 +96,12 @@ def minhash_lsh_candidates(
     """Band the signature, bucket-join within bands → candidate pairs
     (id_a < id_b, with the number of matching bands). Never computes
     the cross product: the join key is (band, bucket)."""
+    if n_perms % bands != 0:
+        raise ValueError(
+            f"n_perms ({n_perms}) must divide evenly into bands "
+            f"({bands}) — trailing permutations would silently change "
+            "the LSH sensitivity curve"
+        )
     rows_per_band = n_perms // bands
     band_cols = []
     for b in range(bands):

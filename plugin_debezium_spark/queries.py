@@ -29,7 +29,7 @@ def envelopes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → Debezium-style envelope rows (flattened key/payload)."""
     ev = _events(spark, sf_dir)
     ent = (F.col("user_id") * 20 + F.pmod(F.col("event_id"), 20)).alias("ent")
-    df = ev.select("event_id", "event_type", "props", "value", ent)
+    df = ev.select("event_id", "event_type", "props", ent)
     return df.select(
         F.col("event_id").alias("lsn"),
         F.col("event_id").alias("ts_ms"),
@@ -95,13 +95,9 @@ FROM latest WHERE rn = 1 AND op <> 'd'
 # ---------------------------------------------------------------------------
 
 
-def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 LWW dedupe + delete policy: pure-DataFrame final state (the
-    same plan the engine runs inside one micro-batch)."""
-    from plugin_debezium_spark.operators.dedupe import latest_by_key
-
-    env = envelopes_from_events(spark, sf_dir)
-    latest = latest_by_key(env, ("repo", "path", "commit"))
+def _final_state_select(latest: DataFrame) -> DataFrame:
+    """The FINAL_STATE_SQL contract's projection — ONE definition so
+    the three dedupe formulations can't drift from the oracle."""
     return latest.filter(F.col("op") != "d").select(
         "repo",
         "path",
@@ -113,21 +109,42 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_derived_source(env: DataFrame) -> DataFrame:
+    """db/table provenance derived from the repo's trailing digit (hash
+    functions differ across engines; arithmetic derivations don't)."""
+    return env.withColumn(
+        "source",
+        F.struct(
+            F.concat(
+                F.lit("db"),
+                F.pmod(F.substring("repo", 4, 1).cast("int"), F.lit(3)).cast(
+                    "string"
+                ),
+            ).alias("db"),
+            F.col("lang").alias("table"),
+            F.lit("false").alias("snapshot"),
+            F.lit("x").alias("connector"),
+        ),
+    )
+
+
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 LWW dedupe + delete policy: pure-DataFrame final state (the
+    same plan the engine runs inside one micro-batch)."""
+    from plugin_debezium_spark.operators.dedupe import latest_by_key
+
+    env = envelopes_from_events(spark, sf_dir)
+    return _final_state_select(latest_by_key(env, ("repo", "path", "commit")))
+
+
 def cdc_final_state_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 + R1: identical semantics via the explicit two-phase salted
     reduce (skew path). Same oracle as cdc_final_state."""
     from plugin_debezium_spark.operators.dedupe import latest_by_key
 
     env = envelopes_from_events(spark, sf_dir)
-    latest = latest_by_key(env, ("repo", "path", "commit"), n_salts=8)
-    return latest.filter(F.col("op") != "d").select(
-        "repo",
-        "path",
-        "commit",
-        "lang",
-        "content",
-        F.sha2("content", 256).alias("content_sha256"),
-        F.col("lsn").alias("last_lsn"),
+    return _final_state_select(
+        latest_by_key(env, ("repo", "path", "commit"), n_salts=8)
     )
 
 
@@ -162,7 +179,14 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lsn") / 2500).cast("long").alias("lsn_bucket"),
     )
     d = tempfile.mkdtemp(prefix="cdc_replay_")
+    # scratch log+table must outlive this call (the driver collects the
+    # returned DataFrame later) — reclaim at interpreter exit
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, d, True)
     log.write.mode("overwrite").partitionBy("lsn_bucket").parquet(f"{d}/log")
+    # parquet count() is footer-only — cheap epoch sizing
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     cfg = EngineConfig(
         log_dir=f"{d}/log",
@@ -191,16 +215,7 @@ def cdc_dedupe_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plugin_debezium_spark.operators.dedupe import dedupe_window
 
     env = envelopes_from_events(spark, sf_dir)
-    latest = dedupe_window(env, ("repo", "path", "commit"))
-    return latest.filter(F.col("op") != "d").select(
-        "repo",
-        "path",
-        "commit",
-        "lang",
-        "content",
-        F.sha2("content", 256).alias("content_sha256"),
-        F.col("lsn").alias("last_lsn"),
-    )
+    return _final_state_select(dedupe_window(env, ("repo", "path", "commit")))
 
 
 def cdc_column_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,22 +251,7 @@ def cdc_add_deleted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cdc_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1/A1 — splitTable TABLE routing + per-stream counters."""
-    env = envelopes_from_events(spark, sf_dir).withColumn(
-        "source",
-        F.struct(
-            # db derived from the repo's trailing digit (hash functions
-            # differ across engines; arithmetic derivations don't)
-            F.concat(
-                F.lit("db"),
-                F.pmod(F.substring("repo", 4, 1).cast("int"), F.lit(3)).cast(
-                    "string"
-                ),
-            ).alias("db"),
-            F.col("lang").alias("table"),
-            F.lit("false").alias("snapshot"),
-            F.lit("x").alias("connector"),
-        ),
-    )
+    env = _with_derived_source(envelopes_from_events(spark, sf_dir))
     from plugin_debezium_spark.operators.metrics import stream_counts
 
     return stream_counts(env)
@@ -320,20 +320,7 @@ def cdc_metadata_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cdc_include_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 — regex include/exclude on source db/table pushed to scan."""
-    env = envelopes_from_events(spark, sf_dir).withColumn(
-        "source",
-        F.struct(
-            F.concat(
-                F.lit("db"),
-                F.pmod(F.substring("repo", 4, 1).cast("int"), F.lit(3)).cast(
-                    "string"
-                ),
-            ).alias("db"),
-            F.col("lang").alias("table"),
-            F.lit("false").alias("snapshot"),
-            F.lit("x").alias("connector"),
-        ),
-    )
+    env = _with_derived_source(envelopes_from_events(spark, sf_dir))
     from plugin_debezium_spark.operators.filters import include_exclude
 
     kept = include_exclude(

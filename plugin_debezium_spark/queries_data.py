@@ -189,7 +189,13 @@ def emb_neardup_pairs_exact(spark, sf_dir):
         F.expr(norm_expr("embedding")).alias("nb"),
     )
     # label-blocking bounds the pair space (classic near-dup blocking;
-    # the unblocked scale path is the LSH variant)
+    # the unblocked scale path is the LSH variant).
+    # Float-threshold caveat (accepted risk): both engines compute the
+    # same dot/(na*nb) in doubles, but summation internals are not
+    # specified — a pair within ~1 ulp of the threshold could diverge.
+    # With 64-dim random data the nearest observed cosine to the
+    # threshold is >> 1e-12 away; revisit if a dataset ever lands a
+    # pair on the boundary.
     return (
         a.join(b, (F.col("id_a") < F.col("id_b")) & (F.col("la") == F.col("lb")))
         .filter(F.expr(dot_over_norms("va", "vb", "na", "nb")) >= 0.25)
@@ -356,15 +362,26 @@ ranked AS (
 )
 SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
 """,
+    # byte-exact twin of the Spark side's UTF-8 payload (octet_length +
+    # hex-pair byte values, NOT character counts/codepoints — they
+    # diverge on any non-ASCII document)
     "multimodal_features": """
+WITH b AS (
+  -- sha256(VARCHAR) hashes the UTF-8 bytes, same as the Spark side's
+  -- sha over the encoded payload
+  SELECT doc_id, text, encode(text) AS payload,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
 SELECT doc_id AS media_id, 'image' AS kind,
-       length(text) AS n_bytes, sha256(text) AS sha256,
-       CAST(16 + length(text) % 64 AS INT) AS width,
-       CAST(16 + (length(text) // 64) % 64 AS INT) AS height,
+       n AS n_bytes, sha256(text) AS sha256,
+       CAST(16 + n % 64 AS INT) AS width,
+       CAST(16 + (n // 64) % 64 AS INT) AS height,
        3 AS channels,
-       (list_sum(list_transform(generate_series(1, least(length(text), 256)),
-                                i -> ascii(substr(text, i, 1)))) % 2560) / 10.0 AS mean_luma
-FROM documents
+       (list_aggregate(list_transform(generate_series(1, least(n, 256)),
+          i -> ('0x' || substr(hex(payload), 2*i-1, 2))::INT), 'sum')
+        % 2560) / 10.0 AS mean_luma
+FROM b
 """,
 }
 

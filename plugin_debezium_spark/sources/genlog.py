@@ -49,16 +49,8 @@ class LogSpec:
 
     @property
     def bucket_size(self) -> int:
-        return max(1, self.n_events // self.lsn_buckets)
-
-
-def _key_cols(key_id):
-    """repo/path/commit as deterministic functions of key_id.
-
-    Hot keys (< n_hot_keys) collapse onto 2 repos — the skew the north
-    rule requires salting for.
-    """
-    return key_id  # placeholder, real work in build_log
+        # ceil division: floor would mint lsn_buckets+1 partition values
+        return max(1, -(-self.n_events // self.lsn_buckets))
 
 
 def build_log(spark: SparkSession, spec: LogSpec = LogSpec()) -> DataFrame:

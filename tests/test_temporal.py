@@ -20,6 +20,7 @@ def test_temporal_matrix(spark):
                 "tod_us": [6 * 3600 * 1_000_000 + 30 * 60 * 1_000_000],
                 "yr": [2024],
                 "ziso": ["2024-01-01T05:30:00+05:30"],
+                "ztime": ["10:15:30+02:00"],
                 "dur_us": [90 * 1_000_000],
                 "dec": ["12.34"],
             }
@@ -33,6 +34,7 @@ def test_temporal_matrix(spark):
         TP.micro_time("tod_us").alias("tod"),
         TP.year_date("yr").alias("y"),
         TP.zoned_timestamp("ziso").alias("z"),
+        TP.zoned_time("ztime").alias("zt"),
         TP.micro_duration("dur_us").alias("dur"),
         TP.decimal_str("dec", 5, 2).alias("dc"),
     ).collect()[0]
@@ -45,6 +47,8 @@ def test_temporal_matrix(spark):
     assert row["y"] == datetime.date(2024, 1, 1)
     # +05:30 normalizes to UTC session zone -> midnight UTC
     assert row["z"] == datetime.datetime(2024, 1, 1, 0, 0, 0)
+    # time-only with offset → UTC time-of-day, date-independent
+    assert row["zt"] == "08:15:30.000000"
     assert row["dur"] == datetime.timedelta(seconds=90)
     assert row["dc"] == Decimal("12.34")
     assert "io.debezium.time.MicroTimestamp" in TP.DEBEZIUM_CONVERTERS
