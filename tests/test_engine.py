@@ -158,6 +158,32 @@ def test_sharded_appliers_union_equals_full(spark, log_dir, tmp_path):
     assert union == golden_key_hashes(read_log_pandas(log_dir))
 
 
+def test_max_duration_stops_cleanly(spark, log_dir, tmp_path):
+    """L4 stop condition: an exhausted time budget applies nothing,
+    leaves no cached leftovers, and a later run completes the replay."""
+    table_dir = str(tmp_path / "tbl")
+    out = run(
+        spark,
+        EngineConfig(
+            log_dir=log_dir,
+            table_dir=table_dir,
+            max_events_per_batch=1_000,
+            max_duration_s=0.0,
+        ),
+    )
+    assert out["batches_applied"] == 0
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    run(
+        spark,
+        EngineConfig(
+            log_dir=log_dir, table_dir=table_dir, max_events_per_batch=1_000
+        ),
+    )
+    assert _final_hashes(spark, table_dir) == golden_key_hashes(
+        read_log_pandas(log_dir)
+    )
+
+
 def test_metrics_lineage_written(spark, log_dir, tmp_path):
     table_dir = str(tmp_path / "tbl")
     run(

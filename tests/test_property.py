@@ -67,6 +67,9 @@ def test_merge_equals_python_model(spark, tmp_path_factory, events, n_batches, r
     size = max(1, len(rows) // n_batches)
     batches = [rows[i : i + size] for i in range(0, len(rows), size)]
     order = list(reversed(batches)) if reverse else batches
+    # in-order delivery additionally exercises the ordered fast path
+    # (lww_guard off) — both paths must match the model
+    guard = True if reverse else (n_batches % 2 == 0)
     for i, b in enumerate(order):
         df = spark.createDataFrame(
             pd.DataFrame(
@@ -79,7 +82,7 @@ def test_merge_equals_python_model(spark, tmp_path_factory, events, n_batches, r
             " _lsn long, _ts_ms long, op string",
         )
         merge_batch(
-            t, df, epoch_id=i, last_lsn=max(r[4] for r in b), lww_guard=True
+            t, df, epoch_id=i, last_lsn=max(r[4] for r in b), lww_guard=guard
         )
 
     got = {
