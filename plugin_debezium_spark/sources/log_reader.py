@@ -27,7 +27,11 @@ def read_after(spark: SparkSession, log_dir: str, last_lsn: int) -> DataFrame:
 
 
 def plan_epochs(
-    spark: SparkSession, log_dir: str, last_lsn: int, max_events_per_batch: int
+    spark: SparkSession,
+    log_dir: str,
+    last_lsn: int,
+    max_events_per_batch: int,
+    ramp_first: bool = False,
 ) -> list[dict]:
     """Split remaining log into LSN ranges of ~max_events_per_batch.
 
@@ -36,22 +40,32 @@ def plan_epochs(
     log because it reads only the ``lsn`` column of unapplied buckets.
     Returns [{"lo": exclusive, "hi": inclusive, "buckets": [...]}, ...]
     — the bucket list lets the epoch read prune partitions outright.
+
+    ramp_first: size the FIRST epoch at ~1/8 of the batch target so the
+    pipelined engine's one unhidden parse+dedupe is small. Measured
+    net-negative at bench scale (the extra epoch's fixed costs exceed
+    the saving) — default off, kept for very large epochs where the
+    tradeoff flips.
     """
     stats = _bucket_stats(log_dir, last_lsn)
     epochs: list[dict] = []
     lo = last_lsn
     acc = 0
     buckets: list[int] = []
+    target = (
+        max(1, max_events_per_batch // 8) if ramp_first else max_events_per_batch
+    )
     for bucket, n, hi in stats:
         acc += n
         buckets.append(bucket)
-        if acc >= max_events_per_batch:
+        if acc >= target:
             epochs.append({"lo": lo, "hi": hi, "buckets": buckets, "n": acc})
             lo = hi
             acc = 0
             # epochs close on bucket boundaries (hi = bucket max), so
             # the closed bucket is fully consumed
             buckets = []
+            target = max_events_per_batch
     if acc > 0:
         epochs.append(
             {"lo": lo, "hi": stats[-1][2], "buckets": buckets, "n": acc}
