@@ -227,6 +227,15 @@ aggregate's map-side combine absorbs most of the skew and salting
 halves the remainder by spreading the hot key's reduce-side rows
 (operators/dedupe.py; north rule "salt hot repos").
 
+## Merge-on-read vs copy-on-write (one-time measurement)
+
+Applying a ~314k-key tail epoch into a 1.5M-row table on local[16]:
+COW 6.4 s (rewrites every touched bucket) vs MOR 4.0 s (append-only
+delta files, zero target I/O). The gap grows with the table/batch
+ratio — at production scale COW epoch cost is O(touched table), MOR is
+O(batch); use `EngineConfig(merge_mode="mor")` + periodic compaction
+for ingest-heavy workloads.
+
 ## Soak (robustness at 4x bench scale, one-time measurement)
 
 64,000,000 events (11 GB log, 6.4M keys, 4 epochs of 16M) replayed on

@@ -42,9 +42,12 @@ def compact(
     if not targets:
         return {"compacted_buckets": 0, "snapshot_id": snap.snapshot_id}
 
-    df = table._read_files(
-        snap, [f for f in snap.files if f["bucket"] in set(targets)], None
-    )
+    target_files = [f for f in snap.files if f["bucket"] in set(targets)]
+    df = table._read_files(snap, target_files, None)
+    if any(f.get("kind", "base") == "delta" for f in target_files):
+        # merge-on-read buckets: resolve LWW before rewriting, else
+        # stale base rows would be duplicated into the new base files
+        df = table._resolve_lww(df, snap)
     if (
         expire_tombstones_below_lsn is not None
         and "_deleted" in df.columns

@@ -145,6 +145,8 @@ class LakeTable:
         consistent (Iceberg-spec semantics)."""
         snap = self.snapshot(snapshot_id)
         df = self._read_files(snap, snap.files, None)
+        if any(f.get("kind", "base") == "delta" for f in snap.files):
+            df = self._resolve_lww(df, snap)
         if not include_deleted and "_deleted" in df.columns:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df
@@ -159,13 +161,33 @@ class LakeTable:
         each group reads with its exact schema then casts — precise
         add-column/widening semantics with zero inference.
 
-        Tables with a ``_deleted`` tombstone column (written by the
-        out-of-order-safe merge) exclude tombstones by default."""
+        If the snapshot contains delta files (merge-on-read epochs),
+        rows are LWW-resolved per key on (_lsn, _ts_ms) at read time.
+        Tables with a ``_deleted`` tombstone column exclude tombstones
+        by default."""
         snap = self.current()
         df = self._read_files(snap, snap.files, buckets)
+        if any(f.get("kind", "base") == "delta" for f in snap.files):
+            df = self._resolve_lww(df, snap)
         if not include_deleted and "_deleted" in df.columns:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df
+
+    def _resolve_lww(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Merge-on-read resolution: one live row per key = the max
+        (_lsn, _ts_ms) version across base + delta files. Requires the
+        engine's _lsn/_ts_ms audit columns."""
+        if "_lsn" not in df.columns:
+            raise ValueError(
+                "merge-on-read resolution needs the _lsn column — this "
+                "table was not written by the CDC engine"
+            )
+        from plugin_debezium_spark.operators.dedupe import latest_by_key
+
+        keyed = df.withColumn("lsn", F.col("_lsn")).withColumn(
+            "ts_ms", F.col("_ts_ms")
+        )
+        return latest_by_key(keyed, tuple(snap.key_cols)).drop("lsn", "ts_ms")
 
     def _read_files(
         self, snap: Snapshot, files: list[dict], buckets: list[int] | None
@@ -194,7 +216,7 @@ class LakeTable:
     # -- write / commit ------------------------------------------------------
 
     def write_bucket_data(
-        self, df: DataFrame, snapshot_id: int, tag: str = "d"
+        self, df: DataFrame, snapshot_id: int, tag: str = "d", kind: str = "base"
     ) -> list[dict]:
         """Write df (must carry ``_bucket``) partitioned by bucket under
         data/snap-{id}; returns manifest entries. One shuffle-free
@@ -203,9 +225,9 @@ class LakeTable:
         rel = f"data/snap-{snapshot_id}-{tag}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, rel)
         df.write.mode("overwrite").partitionBy("_bucket").parquet(out)
-        return self._manifest_entries(out)
+        return self._manifest_entries(out, kind)
 
-    def _manifest_entries(self, out: str) -> list[dict]:
+    def _manifest_entries(self, out: str, kind: str = "base") -> list[dict]:
         from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
@@ -223,6 +245,7 @@ class LakeTable:
                 "bucket": int(os.path.basename(root).split("=")[1]),
                 "schema_id": -1,  # filled by commit()
                 "rows": pq.ParquetFile(full).metadata.num_rows,
+                "kind": kind,
             }
 
         with ThreadPoolExecutor(max_workers=16) as ex:

@@ -94,10 +94,18 @@ def merge_prepared(
     op_col: str = "op",
     broadcast_key_limit: int = BROADCAST_KEY_LIMIT,
     lww_guard: bool = False,
+    mor: bool = False,
 ) -> dict:
     """Core MERGE. ``batch`` must be deduped (one row per key), carry
     ``_bucket``, and be cached by the caller (it is consumed by up to
     two write jobs).
+
+    mor=True (merge-on-read): the epoch APPENDS the batch as delta
+    files — no target read, no survivors rewrite; epoch cost is
+    O(batch) regardless of table size (Iceberg-v2-style). Readers
+    resolve LWW per key at scan time (LakeTable._resolve_lww) and
+    compaction folds deltas back into base files. Inherently safe
+    under out-of-order delivery (deletes persist as tombstones).
 
     lww_guard=False (default): epochs are applied in LSN order (the
     batch engine's contract), so batch rows unconditionally win — the
@@ -130,6 +138,19 @@ def merge_prepared(
     bset = set(touched)
     target_files = [f for f in prev.files if f["bucket"] in bset]
 
+    if mor:
+        return _merge_mor(
+            table,
+            batch,
+            touched,
+            n_batch_keys,
+            epoch_id,
+            last_lsn,
+            prev,
+            new_schema,
+            changes,
+            op_col,
+        )
     if lww_guard:
         return _merge_lww_guard(
             table,
@@ -191,6 +212,57 @@ def merge_prepared(
         schema=new_schema,
         epoch_id=epoch_id,
         properties={"last_lsn": int(last_lsn)},
+        expected_parent=prev.snapshot_id,
+    )
+    return {
+        "skipped": False,
+        "epoch_id": epoch_id,
+        "snapshot_id": snap.snapshot_id,
+        "touched_buckets": len(touched),
+        "batch_keys": n_batch_keys,
+        "schema_changes": changes,
+        "files_written": len(new_files),
+        "rows_written": int(sum(f["rows"] for f in new_files)),
+    }
+
+
+def _merge_mor(
+    table: LakeTable,
+    batch: DataFrame,
+    touched: list[int],
+    n_batch_keys: int,
+    epoch_id: int,
+    last_lsn: int,
+    prev,
+    new_schema: T.StructType,
+    changes: list[str],
+    op_col: str,
+) -> dict:
+    """Append-only epoch: deduped batch → delta files (deletes as
+    tombstones); one bucket shuffle, zero target I/O."""
+    key_cols = list(prev.key_cols)
+    nb = prev.n_buckets
+    if "_deleted" not in {f.name for f in new_schema.fields}:
+        raise ValueError(
+            "merge-on-read requires a table with a _deleted tombstone column"
+        )
+    deltas = _cast_to(
+        batch.withColumn("_deleted", F.col(op_col) == OP_DELETE), new_schema
+    ).withColumn("_bucket", bucket_expr(key_cols, nb))
+    deltas = deltas.repartition(max(len(touched), 1), F.col("_bucket"))
+    new_files = table.write_bucket_data(
+        deltas, prev.snapshot_id + 1, tag="delta", kind="delta"
+    )
+    snap = table.commit(
+        new_files,
+        replaced_buckets=set(),  # append-only: nothing replaced
+        schema=new_schema,
+        epoch_id=epoch_id,
+        properties={
+            "last_lsn": max(
+                int(last_lsn), int(prev.properties.get("last_lsn", -1))
+            )
+        },
         expected_parent=prev.snapshot_id,
     )
     return {

@@ -68,6 +68,12 @@ class EngineConfig:
     # out-of-order-safe merge (LWW reduce + tombstones); required when
     # batches may not arrive in LSN order (streaming file source)
     lww_guard: bool = False
+    # "cow": copy-on-write MERGE (read-optimized; rewrites touched
+    #   buckets per epoch).
+    # "mor": merge-on-read (ingest-optimized; epochs append delta files
+    #   with ZERO target I/O — epoch cost independent of table size;
+    #   readers LWW-resolve at scan time, compaction folds deltas back).
+    merge_mode: str = "cow"
     # two-pass dedupe: pass 1 shuffles only (key, lsn) to find winner
     # LSNs, pass 2 broadcast-semi-joins on lsn BEFORE parsing — the
     # 1.5 KB payloads never shuffle and losers are never JSON-parsed.
@@ -333,6 +339,7 @@ def _apply_epoch_variant(
             epoch_id=epoch_id,
             last_lsn=hi,
             lww_guard=cfg.lww_guard,
+            mor=cfg.merge_mode == "mor",
         )
         stats["t_infer_s"] = round(t1 - t0, 2)
         stats["t_merge_s"] = round(time.time() - t1, 2)
