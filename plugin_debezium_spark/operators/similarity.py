@@ -80,6 +80,29 @@ def brute_force_topk(
     )
 
 
+# Embedding quantization step for LSH signatures. 1024 = 2^10, so
+# x*QUANT is EXACT in IEEE floating point (no rounding) and
+# floor(x*QUANT) is bit-identical in numpy, Spark, and DuckDB — the
+# whole signature is integer arithmetic any engine reproduces.
+QUANT = 1024
+
+
+def sha_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """±1 hyperplane matrix (dim × n_planes) derived from sha256 of
+    "hp:{seed}:{plane}:{coord}" — engine-neutral constants, so a SQL
+    oracle (or any other engine) can regenerate the identical planes.
+    Rademacher ±1 entries give the same LSH guarantees as Gaussian
+    planes (Achlioptas 2003, database-friendly random projections)."""
+    import hashlib
+
+    m = np.empty((dim, n_planes), dtype=np.int64)
+    for j in range(n_planes):
+        for i in range(dim):
+            h = hashlib.sha256(f"hp:{seed}:{j}:{i}".encode()).digest()
+            m[i, j] = 1 if (h[0] & 1) else -1
+    return m
+
+
 def hyperplane_signature(
     df: DataFrame,
     dim: int,
@@ -88,15 +111,17 @@ def hyperplane_signature(
     vec_col: str = "embedding",
     out_col: str = "bucket",
 ) -> DataFrame:
-    """Random-hyperplane LSH signature (sign bits of V·R) as an int
-    bucket id. One numpy matmul per Arrow batch."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    """Hyperplane LSH signature (sign bits of Q·S over the quantized
+    vector Q = floor(v*QUANT) and sha-derived ±1 planes S) as an int
+    bucket id. One numpy integer matmul per Arrow batch — exact, so
+    the bucket assignment is deterministic across engines."""
+    planes = sha_planes(dim, n_planes, seed)
 
     @pandas_udf("long")
     def _sig(v: pd.Series) -> pd.Series:
-        m = np.stack(v.to_numpy())  # (batch, dim)
-        bits = (m @ planes) > 0  # (batch, n_planes)
+        m = np.stack(v.to_numpy()).astype(np.float64)  # (batch, dim)
+        q = np.floor(m * QUANT).astype(np.int64)
+        bits = (q @ planes) > 0  # (batch, n_planes)
         weights = (1 << np.arange(n_planes)).astype("int64")
         return pd.Series(bits @ weights)
 

@@ -49,19 +49,34 @@ def merge_batch(
     op_col: str = "op",
     broadcast_key_limit: int = BROADCAST_KEY_LIMIT,
     lww_guard: bool = False,
+    mor: bool = False,
 ) -> dict:
-    """Apply one deduped micro-batch. ``batch_latest`` must have one
-    row per key: key columns + payload columns + ``op``.
+    """Apply one micro-batch of key columns + payload columns + ``op``.
 
-    Convenience wrapper: caches the batch, derives the touched-bucket
-    set and key count in one tiny collect, then delegates to
-    merge_prepared (the engine's epoch loop computes those itself, in
-    the same action as its schema inference).
+    Convenience wrapper: LWW-reduces the batch to one row per key (a
+    raw batch may carry several events per key — e.g. a same-batch
+    create→delete must net to "absent", matching the reference's
+    log-order apply, mysql/CaptureTest.java:97-99), caches it, derives
+    the touched-bucket set and key count in one tiny collect, then
+    delegates to merge_prepared (the engine's epoch loop dedupes and
+    computes those itself, in the same action as its schema inference).
     """
     prev = table.current()
     if prev.properties.get("last_epoch_id", -1) >= epoch_id:
         return {"skipped": True, "epoch_id": epoch_id}
     key_cols = list(prev.key_cols)
+    if "_lsn" in batch_latest.columns:
+        from plugin_debezium_spark.operators.dedupe import latest_by_key
+
+        keyed = batch_latest.withColumn("lsn", F.col("_lsn")).withColumn(
+            "ts_ms",
+            F.col("_ts_ms")
+            if "_ts_ms" in batch_latest.columns
+            else F.col("_lsn"),
+        )
+        batch_latest = latest_by_key(keyed, tuple(key_cols)).drop(
+            "lsn", "ts_ms"
+        )
     batch = batch_latest.withColumn(
         "_bucket", bucket_expr(key_cols, prev.n_buckets)
     ).cache()
@@ -79,6 +94,7 @@ def merge_batch(
             op_col=op_col,
             broadcast_key_limit=broadcast_key_limit,
             lww_guard=lww_guard,
+            mor=mor,
         )
     finally:
         batch.unpersist()
@@ -179,6 +195,13 @@ def merge_prepared(
         target = _cast_to(
             table._read_files(prev, target_files, None), new_schema
         )
+        if any(f.get("kind", "base") == "delta" for f in target_files):
+            # mixed-mode table: earlier MOR epochs left delta files in
+            # the touched buckets. A plain anti-join would copy
+            # base+delta duplicates (and resurrect tombstoned keys)
+            # into the new base files — resolve LWW first, exactly as
+            # compaction does, so the rewritten buckets are clean base.
+            target = table._resolve_lww(target, prev)
         keys = batch.select(*key_cols)
         if n_batch_keys <= broadcast_key_limit:
             # target data never shuffles: map-side anti-join against

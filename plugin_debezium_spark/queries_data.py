@@ -151,12 +151,14 @@ def emb_topk_bruteforce(spark, sf_dir):
 
 
 def emb_topk_lsh(spark, sf_dir):
-    """Approximate ANN via random-hyperplane buckets (pandas-UDF
-    signatures) — no SQL oracle; rows-only check."""
+    """Approximate ANN via sha-derived hyperplane buckets (pandas-UDF
+    integer-matmul signatures) — the bucket assignment is exact integer
+    arithmetic, so the DuckDB oracle regenerates identical buckets."""
     from plugin_debezium_spark.operators.similarity import lsh_topk
 
     e = _embs(spark, sf_dir)
     dim = len(e.select("embedding").first()[0])
+    assert dim == _EMB_DIM, f"oracle is generated for dim={_EMB_DIM}"
     return lsh_topk(
         e.filter(F.col("vec_id") >= 5),
         e.filter(F.col("vec_id") < 5),
@@ -296,7 +298,7 @@ votes AS (
   FROM bits GROUP BY 1, 2
 )
 SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY 1
 """,
     "text_token_counts": """
@@ -384,6 +386,52 @@ SELECT doc_id AS media_id, 'image' AS kind,
 FROM b
 """,
 }
+
+# emb_topk_lsh oracle: regenerate the sha-derived ±1 planes and the
+# floor(x*1024) quantization — both exact integer arithmetic — so the
+# DuckDB bucket ids equal the pandas-UDF matmul's bit for bit; then
+# per-bucket exact cosine top-k, same rank tie-break as bruteforce.
+_EMB_DIM = 64
+
+
+def _lsh_bucket_sql(dim: int, n_planes: int, seed: int = 42) -> str:
+    from plugin_debezium_spark.operators.similarity import sha_planes
+
+    planes = sha_planes(dim, n_planes, seed)
+    bits = []
+    for j in range(n_planes):
+        s = ", ".join(str(int(planes[i, j])) for i in range(dim))
+        bits.append(
+            f"(CASE WHEN list_dot_product(q, [{s}]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+DATA_ORACLES["emb_topk_lsh"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1024) AS BIGINT)) AS q
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, ({_lsh_bucket_sql(_EMB_DIM, 4)}) AS bucket FROM e),
+qs AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+cs AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b WHERE vec_id >= 5),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM cs JOIN qs USING (bucket)
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
+"""
 
 # text_lang_id oracle: argmax over struct list (score, tie, lang) —
 # identical tie semantics to functions.text.lang_id

@@ -373,7 +373,14 @@ def _apply_epoch_json(
             work, payload_schema, cfg.decode_mode, cfg.sha_mode
         )
         latest = latest_by_key(rows, KEY_COLS, cfg.n_salts).drop("lsn", "ts_ms")
-        stats = merge_batch(table, latest, epoch_id=epoch_id, last_lsn=hi)
+        stats = merge_batch(
+            table,
+            latest,
+            epoch_id=epoch_id,
+            last_lsn=hi,
+            lww_guard=cfg.lww_guard,
+            mor=cfg.merge_mode == "mor",
+        )
         stats["t_infer_s"] = round(t1 - t0, 2)
         stats["t_merge_s"] = round(time.time() - t1, 2)
         if cfg.write_metrics and not stats.get("skipped"):

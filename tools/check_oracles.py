@@ -23,12 +23,19 @@ TABLES = (
 
 
 def norm_cell(v) -> str:
+    import decimal
+
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
         return f"{v:.6g}"
+    if isinstance(v, decimal.Decimal):
+        # the driver's hash distinguishes DuckDB HUGEINT/DECIMAL from
+        # Spark BIGINT — mirror that so local green predicts driver
+        # green (oracles must CAST sums to BIGINT, not rely on this)
+        return f"decimal:{v}"
     return str(v)
 
 
