@@ -94,6 +94,60 @@ def micro_duration(col) -> Column:
     )
 
 
+def nano_duration(col) -> Column:
+    """long ns → DayTimeIntervalType (reference MapConverter.java:90-94
+    → Duration.ofNanos). Sub-µs truncates — Spark's day-time interval
+    stores µs; integer div first so big epochs don't round in double."""
+    return F.expr(
+        f"make_dt_interval(0, 0, 0, ({_name(col)} div 1000) / 1000000.0)"
+    )
+
+
+# ISO-8601 period (P1Y2M3W4D, optionally with a time part) — the shape
+# io.debezium.time.Interval carries and MapConverter.java:66-70 parses
+# with java.time.Period.
+_PERIOD_RE = (
+    r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
+    r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def interval_period(col) -> Column:
+    """ISO-8601 interval string → struct(years, months, days, micros).
+    Spark exposes no Period type to Parquet/Arrow, so the components
+    are kept exact in a struct (weeks fold into days, the time part
+    into micros) — lossless, unlike forcing a day-time interval."""
+    c = _c(col)
+
+    def g(i):  # regexp group as long, absent ('') → 0 (ANSI-safe)
+        x = F.regexp_extract(c, _PERIOD_RE, i)
+        return F.coalesce(F.nullif(x, F.lit("")).cast("long"), F.lit(0))
+
+    def gnum(i):  # fractional seconds group as double
+        x = F.regexp_extract(c, _PERIOD_RE, i)
+        return F.coalesce(
+            F.when(x == "", None).otherwise(x).cast("double"), F.lit(0.0)
+        )
+
+    years = g(1)
+    months = g(2)
+    days = g(3) * 7 + g(4)
+    micros = (
+        g(5) * 3_600_000_000 + g(6) * 60_000_000
+        + F.round(gnum(7) * 1_000_000).cast("long")
+    )
+    return F.when(
+        c.isNull(), F.lit(None).cast("struct<years:long,months:long,days:long,micros:long>")
+    ).otherwise(
+        F.struct(
+            years.alias("years"),
+            months.alias("months"),
+            days.alias("days"),
+            micros.alias("micros"),
+        )
+    )
+
+
 def decimal_str(col, precision: int = 38, scale: int = 9) -> Column:
     return _c(col).cast(f"decimal({precision},{scale})")
 
@@ -116,5 +170,7 @@ DEBEZIUM_CONVERTERS = {
     "io.debezium.time.ZonedTimestamp": zoned_timestamp,
     "io.debezium.time.ZonedTime": zoned_time,
     "io.debezium.time.MicroDuration": micro_duration,
+    "io.debezium.time.NanoDuration": nano_duration,
+    "io.debezium.time.Interval": interval_period,
     "org.apache.kafka.connect.data.Decimal": decimal_str,
 }

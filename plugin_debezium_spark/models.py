@@ -25,7 +25,14 @@ OP_UPDATE = "u"
 OP_DELETE = "d"
 OP_READ = "r"  # snapshot read
 OP_TRUNCATE = "t"
-DATA_OPS = (OP_CREATE, OP_UPDATE, OP_DELETE, OP_READ)
+# Envelope operations the reference DELIVERS (ChangeConsumer.java:
+# 196-199 drops only non-Envelope schema-change messages; TRUNCATE
+# envelopes flow through shaping with deleted=true, :262-274).
+DATA_OPS = (OP_CREATE, OP_UPDATE, OP_DELETE, OP_READ, OP_TRUNCATE)
+# Operations that carry a row key (everything but TRUNCATE — a 't'
+# envelope has no before/after image and no key; the merge path gives
+# it table-wide delete semantics instead).
+KEYED_OPS = (OP_CREATE, OP_UPDATE, OP_DELETE, OP_READ)
 
 # Base table schema v1 (input_hint). Evolution fixtures add
 # size_bytes (v2 int, v3 long) — see plans/evolve.py.
@@ -60,6 +67,17 @@ SOURCE_SCHEMA = T.StructType(
     ]
 )
 
+# Debezium transaction block (Envelope.java:36-37 carries it on every
+# envelope; emitted into metadata by ChangeConsumer.java:295). Null
+# when the source runs without transaction metadata.
+TRANSACTION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), True),
+        T.StructField("total_order", T.LongType(), True),
+        T.StructField("data_collection_order", T.LongType(), True),
+    ]
+)
+
 
 def envelope_log_schema() -> T.StructType:
     """Schema of the persisted change log (one parquet dataset,
@@ -83,6 +101,7 @@ def envelope_log_schema() -> T.StructType:
             T.StructField("before_json", T.StringType(), True),
             T.StructField("after_json", T.StringType(), True),
             T.StructField("source", SOURCE_SCHEMA, True),
+            T.StructField("transaction", TRANSACTION_SCHEMA, True),
             T.StructField("epoch_hint", T.LongType(), True),
             T.StructField("lsn_bucket", T.LongType(), False),
         ]

@@ -7,7 +7,7 @@ projections, zero shuffle, fused by whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from plugin_debezium_spark.models import OP_DELETE
@@ -17,12 +17,10 @@ from plugin_debezium_spark.operators.filters import Deleted, is_tombstone
 def raw(df: DataFrame) -> DataFrame:
     """P1 RAW — {key, value:<whole envelope>} untouched
     (ChangeConsumer.java:215-223)."""
-    return df.select(
-        F.col("key"),
-        F.struct(
-            "op", "ts_ms", "lsn", "before", "after", "source"
-        ).alias("value"),
+    envelope = ["op", "ts_ms", "lsn", "before", "after", "source"] + (
+        ["transaction"] if "transaction" in df.columns else []
     )
+    return df.select(F.col("key"), F.struct(*envelope).alias("value"))
 
 
 def _image(deleted_policy: Deleted = Deleted.ADD_FIELD):
@@ -37,22 +35,28 @@ def _image(deleted_policy: Deleted = Deleted.ADD_FIELD):
     return img
 
 
+def _carried(df: DataFrame) -> list[str]:
+    """Envelope columns shaped rows keep carrying (transaction rides
+    along when the source provides it — Envelope.java:36-37)."""
+    return ["op", "ts_ms", "lsn", "key", "source"] + (
+        ["transaction"] if "transaction" in df.columns else []
+    )
+
+
 def inline(
     df: DataFrame, deleted_policy: Deleted = Deleted.ADD_FIELD
 ) -> DataFrame:
     """P2 INLINE — flatten chosen image to top-level row columns
     (ChangeConsumer.java:225-235)."""
     return df.withColumn("_row", _image(deleted_policy)).select(
-        "_row.*", "op", "ts_ms", "lsn", "key", "source"
+        "_row.*", *_carried(df)
     )
 
 
 def wrap(df: DataFrame, deleted_policy: Deleted = Deleted.ADD_FIELD) -> DataFrame:
     """P3 WRAP — INLINE payload nested under `record`
     (ChangeConsumer.java:237-248)."""
-    return df.select(
-        _image(deleted_policy).alias("record"), "op", "ts_ms", "lsn", "key", "source"
-    )
+    return df.select(_image(deleted_policy).alias("record"), *_carried(df))
 
 
 def add_deleted(df: DataFrame, field_name: str = "deleted") -> DataFrame:
@@ -74,15 +78,29 @@ def add_key(df: DataFrame, drop: bool = False) -> DataFrame:
     return out.drop("key")
 
 
-def add_metadata(df: DataFrame, field_name: str = "metadata") -> DataFrame:
-    """P6 — pack {operation, source, timestamp} into a metadata struct
-    (ChangeConsumer.java:282-308)."""
-    return df.withColumn(
-        field_name,
-        F.struct(
-            F.col("op").alias("operation"),
-            F.col("source").alias("source"),
-            F.col("ts_ms").alias("timestamp"),
-            F.col("lsn").alias("lsn"),
-        ),
-    )
+def add_metadata(
+    df: DataFrame,
+    field_name: str = "metadata",
+    properties: dict | None = None,
+) -> DataFrame:
+    """P6 — pack {operation, transaction, source, timestamp, lsn} into
+    a metadata struct (ChangeConsumer.java:282-308: the reference emits
+    operation + transaction + source + timestamp and merges any open
+    stream properties into the same map — ``properties`` is that
+    passthrough: extra name → Column/literal entries)."""
+    fields = [
+        F.col("op").alias("operation"),
+        (
+            F.col("transaction")
+            if "transaction" in df.columns
+            else F.lit(None).cast(
+                "struct<id:string,total_order:bigint,data_collection_order:bigint>"
+            )
+        ).alias("transaction"),
+        F.col("source").alias("source"),
+        F.col("ts_ms").alias("timestamp"),
+        F.col("lsn").alias("lsn"),
+    ]
+    for name, col in (properties or {}).items():
+        fields.append((col if isinstance(col, Column) else F.lit(col)).alias(name))
+    return df.withColumn(field_name, F.struct(*fields))

@@ -50,6 +50,7 @@ def merge_batch(
     broadcast_key_limit: int = BROADCAST_KEY_LIMIT,
     lww_guard: bool = False,
     mor: bool = False,
+    truncate_lsn: int | None = None,
 ) -> dict:
     """Apply one micro-batch of key columns + payload columns + ``op``.
 
@@ -77,6 +78,14 @@ def merge_batch(
         batch_latest = latest_by_key(keyed, tuple(key_cols)).drop(
             "lsn", "ts_ms"
         )
+    if truncate_lsn is not None and "_lsn" in batch_latest.columns:
+        # winners superseded by the truncate point become deletes
+        batch_latest = batch_latest.withColumn(
+            op_col,
+            F.when(
+                F.col("_lsn") <= F.lit(int(truncate_lsn)), F.lit(OP_DELETE)
+            ).otherwise(F.col(op_col)),
+        )
     batch = batch_latest.withColumn(
         "_bucket", bucket_expr(key_cols, prev.n_buckets)
     ).cache()
@@ -87,7 +96,10 @@ def merge_batch(
         return merge_prepared(
             table,
             batch,
-            touched=sorted(int(x) for x in agg["bs"]),
+            # a truncate touches every bucket (table-wide delete)
+            touched=list(range(prev.n_buckets))
+            if truncate_lsn is not None
+            else sorted(int(x) for x in agg["bs"]),
             n_batch_keys=int(agg["n"]),
             epoch_id=epoch_id,
             last_lsn=last_lsn,
@@ -95,6 +107,7 @@ def merge_batch(
             broadcast_key_limit=broadcast_key_limit,
             lww_guard=lww_guard,
             mor=mor,
+            truncate_lsn=truncate_lsn,
         )
     finally:
         batch.unpersist()
@@ -111,10 +124,21 @@ def merge_prepared(
     broadcast_key_limit: int = BROADCAST_KEY_LIMIT,
     lww_guard: bool = False,
     mor: bool = False,
+    truncate_lsn: int | None = None,
 ) -> dict:
     """Core MERGE. ``batch`` must be deduped (one row per key), carry
     ``_bucket``, and be cached by the caller (it is consumed by up to
     two write jobs).
+
+    truncate_lsn: the max LSN of any TRUNCATE envelope in this epoch
+    (reference op 't', ChangeConsumer.java:262-274). Table-wide delete
+    semantics under ordered replay: every target row with
+    ``_lsn <= truncate_lsn`` dies (the caller must pass touched=ALL
+    buckets and pre-convert batch winners with lsn <= truncate_lsn to
+    deletes). Only the ordered COW path supports it — an out-of-order
+    (lww_guard) or append-only (mor) truncate is ill-defined without a
+    global ordering barrier, so those raise instead of silently
+    ignoring the event.
 
     mor=True (merge-on-read): the epoch APPENDS the batch as delta
     files — no target read, no survivors rewrite; epoch cost is
@@ -154,6 +178,12 @@ def merge_prepared(
     bset = set(touched)
     target_files = [f for f in prev.files if f["bucket"] in bset]
 
+    if truncate_lsn is not None and (mor or lww_guard):
+        raise ValueError(
+            "TRUNCATE is only supported on the ordered copy-on-write "
+            "path (set truncate_policy='drop' to ignore 't' events on "
+            "mor/lww_guard pipelines)"
+        )
     if mor:
         return _merge_mor(
             table,
@@ -202,6 +232,10 @@ def merge_prepared(
             # into the new base files — resolve LWW first, exactly as
             # compaction does, so the rewritten buckets are clean base.
             target = table._resolve_lww(target, prev)
+        if truncate_lsn is not None:
+            # table-wide delete: rows last written at or before the
+            # truncate point do not survive (pushed filter, no shuffle)
+            target = target.filter(F.col("_lsn") > F.lit(int(truncate_lsn)))
         keys = batch.select(*key_cols)
         if n_batch_keys <= broadcast_key_limit:
             # target data never shuffles: map-side anti-join against

@@ -209,6 +209,74 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_replay_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/P4 TRUNCATE semantics end-to-end: a log where some delete
+    positions become TRUNCATE envelopes (op='t', no key, no images —
+    reference ChangeConsumer.java:262-274) replayed through the engine.
+    Under ordered replay a truncate at LSN T is a table-wide delete:
+    only keys whose winning event is newer than the latest truncate
+    survive."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from plugin_debezium_spark.plans.lake import LakeTable
+    from plugin_debezium_spark.streaming.engine import EngineConfig, run
+
+    env = envelopes_from_events(spark, sf_dir)
+    is_t = (F.col("op") == "d") & (F.pmod(F.col("lsn"), F.lit(5)) == 0)
+    null_s = F.lit(None).cast("string")
+    log = env.select(
+        "lsn",
+        "ts_ms",
+        F.when(is_t, F.lit("t")).otherwise(F.col("op")).alias("op"),
+        F.when(
+            is_t,
+            F.struct(
+                null_s.alias("repo"), null_s.alias("path"), null_s.alias("commit")
+            ),
+        )
+        .otherwise(F.struct("repo", "path", "commit"))
+        .alias("key"),
+        null_s.alias("before_json"),
+        F.when(F.col("op") == "d", null_s)
+        .otherwise(
+            F.to_json(F.struct("repo", "path", "commit", "lang", "content"))
+        )
+        .alias("after_json"),
+        F.struct(
+            F.lit("kestra").alias("db"),
+            F.lit("repofiles").alias("table"),
+            F.lit("false").alias("snapshot"),
+            F.lit("events").alias("connector"),
+        ).alias("source"),
+        F.lit(0).cast("long").alias("epoch_hint"),
+        (F.col("lsn") / 2500).cast("long").alias("lsn_bucket"),
+    )
+    d = tempfile.mkdtemp(prefix="cdc_trunc_")
+    atexit.register(shutil.rmtree, d, True)
+    log.write.mode("overwrite").partitionBy("lsn_bucket").parquet(f"{d}/log")
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    cfg = EngineConfig(
+        log_dir=f"{d}/log",
+        table_dir=f"{d}/tbl",
+        # 3 epochs: truncates in later epochs must kill earlier keys
+        max_events_per_batch=max(2500, n_events // 3 + 1),
+        write_metrics=False,
+    )
+    run(spark, cfg)
+    t = LakeTable(spark, f"{d}/tbl")
+    return t.read().select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        "content_sha256",
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
 def cdc_dedupe_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 via the window formulation (row_number over LSN desc) — the
     north rule's literal wording; same oracle as the aggregate path."""
@@ -294,19 +362,38 @@ def cdc_inline_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cdc_metadata_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6 — metadata packing (flattened for oracle comparability)."""
-    env = envelopes_from_events(spark, sf_dir).withColumn(
-        "source",
-        F.struct(
-            F.lit("kestra").alias("db"),
-            F.lit("repofiles").alias("table"),
-            F.lit("false").alias("snapshot"),
-            F.lit("x").alias("connector"),
-        ),
+    """P6 — metadata packing incl. the transaction block
+    (ChangeConsumer.java:282-308, Envelope.java:36-37) and an open
+    properties passthrough; flattened for oracle comparability."""
+    env = (
+        envelopes_from_events(spark, sf_dir)
+        .withColumn(
+            "source",
+            F.struct(
+                F.lit("kestra").alias("db"),
+                F.lit("repofiles").alias("table"),
+                F.lit("false").alias("snapshot"),
+                F.lit("x").alias("connector"),
+            ),
+        )
+        .withColumn(
+            "transaction",
+            F.struct(
+                F.concat(
+                    F.lit("tx"), (F.col("lsn") / 10).cast("long").cast("string")
+                ).alias("id"),
+                (F.pmod(F.col("lsn"), F.lit(10)) + 1)
+                .cast("long")
+                .alias("total_order"),
+                (F.pmod(F.col("lsn"), F.lit(10)) + 1)
+                .cast("long")
+                .alias("data_collection_order"),
+            ),
+        )
     )
     from plugin_debezium_spark.operators.shape import add_metadata
 
-    shaped = add_metadata(env)
+    shaped = add_metadata(env, properties={"stream_tag": "cdc"})
     return shaped.select(
         "repo",
         "path",
@@ -315,6 +402,9 @@ def cdc_metadata_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("metadata.timestamp").alias("timestamp"),
         F.col("metadata.lsn").alias("lsn"),
         F.col("metadata.source.table").alias("src_table"),
+        F.col("metadata.transaction.id").alias("tx_id"),
+        F.col("metadata.transaction.total_order").alias("tx_order"),
+        F.col("metadata.stream_tag").alias("stream_tag"),
     )
 
 
@@ -356,6 +446,26 @@ ORACLES: dict[str, str] = {
     "cdc_final_state": FINAL_STATE_SQL,
     "cdc_final_state_salted": FINAL_STATE_SQL,
     "cdc_replay_final_state": FINAL_STATE_SQL,
+    "cdc_replay_truncate": f"""
+WITH {ENV_SQL},
+env2 AS (
+  SELECT *, CASE WHEN op = 'd' AND lsn % 5 = 0 THEN 't' ELSE op END AS op2
+  FROM env
+),
+tl AS (
+  SELECT coalesce(max(CASE WHEN op2 = 't' THEN lsn END), -1) AS t FROM env2
+),
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path, commit ORDER BY lsn DESC) AS rn
+  FROM env2 WHERE op2 <> 't'
+)
+SELECT repo, path, commit, lang, content,
+       sha256(content) AS content_sha256,
+       lsn AS last_lsn
+FROM latest, tl
+WHERE rn = 1 AND op2 <> 'd' AND lsn > tl.t
+""",
     "cdc_dedupe_window": FINAL_STATE_SQL,
     "cdc_column_projection": f"""
 WITH {ENV_SQL}
@@ -389,7 +499,10 @@ FROM env
     "cdc_metadata_shape": f"""
 WITH {ENV_SQL}
 SELECT repo, path, commit, op AS operation, ts_ms AS timestamp, lsn,
-       'repofiles' AS src_table
+       'repofiles' AS src_table,
+       'tx' || CAST(lsn // 10 AS VARCHAR) AS tx_id,
+       CAST(lsn % 10 + 1 AS BIGINT) AS tx_order,
+       'cdc' AS stream_tag
 FROM env
 """,
     "cdc_include_exclude": f"""
@@ -419,6 +532,7 @@ QUERIES = {
     "cdc_final_state": cdc_final_state,
     "cdc_final_state_salted": cdc_final_state_salted,
     "cdc_replay_final_state": cdc_replay_final_state,
+    "cdc_replay_truncate": cdc_replay_truncate,
     "cdc_dedupe_window": cdc_dedupe_window,
     "cdc_column_projection": cdc_column_projection,
     "cdc_op_filter_counts": cdc_op_filter_counts,

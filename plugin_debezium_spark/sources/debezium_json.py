@@ -84,6 +84,20 @@ def envelopes_from_value_json(
         ).alias("snapshot"),
         F.get_json_object(v, "$.source.connector").alias("connector"),
     )
+    # Debezium transaction block (Envelope.java:36-37); null when the
+    # connector runs without transaction metadata
+    tx = F.when(
+        F.get_json_object(v, "$.transaction").isNotNull(),
+        F.struct(
+            F.get_json_object(v, "$.transaction.id").alias("id"),
+            F.get_json_object(v, "$.transaction.total_order")
+            .cast("long")
+            .alias("total_order"),
+            F.get_json_object(v, "$.transaction.data_collection_order")
+            .cast("long")
+            .alias("data_collection_order"),
+        ),
+    )
     return df.select(
         lsn.alias("lsn"),
         F.get_json_object(v, "$.ts_ms").cast("long").alias("ts_ms"),
@@ -92,6 +106,7 @@ def envelopes_from_value_json(
         F.get_json_object(v, "$.before").alias("before_json"),
         F.get_json_object(v, "$.after").alias("after_json"),
         source.alias("source"),
+        tx.alias("transaction"),
         F.lit(None).cast("long").alias("epoch_hint"),
         (lsn / F.lit(bucket_span)).cast("long").alias("lsn_bucket"),
     ).filter(F.col("lsn").isNotNull() & F.col("op").isNotNull())

@@ -46,6 +46,10 @@ class LogSpec:
     content_repeat: int = 8  # content body size knob
     lsn_buckets: int = 64
     epoch_size: int = 2_500  # generator hint only
+    # every Nth stream event becomes a TRUNCATE envelope (op='t', no
+    # key, no images — reference ChangeConsumer.java:262-274); None =
+    # no truncates (the default fixtures)
+    truncate_every: int | None = None
 
     @property
     def bucket_size(self) -> int:
@@ -71,6 +75,15 @@ def build_log(spark: SparkSession, spec: LogSpec = LogSpec()) -> DataFrame:
         .when(opsel < 95, F.lit("d"))
         .otherwise(F.lit("u"))
     )
+    if spec.truncate_every:
+        op = F.when(
+            (~snap)
+            & (
+                F.pmod(F.col("lsn"), F.lit(spec.truncate_every))
+                == F.lit(spec.truncate_every - 1)
+            ),
+            F.lit("t"),
+        ).otherwise(op)
 
     # --- key id: snapshot covers keys round-robin; stream is skewed ----
     hot = F.pmod(F.xxhash64(F.col("lsn"), F.lit(11)), F.lit(100)) < F.lit(
@@ -166,7 +179,7 @@ def build_log(spark: SparkSession, spec: LogSpec = LogSpec()) -> DataFrame:
         .otherwise(size_small)
         .alias("size_bytes"),
     )
-    after_json = F.when(F.col("op") == "d", F.lit(None).cast("string")).otherwise(
+    after_json = F.when(F.col("op").isin("d", "t"), F.lit(None).cast("string")).otherwise(
         F.when(F.col("lsn") >= F.lit(evolve_lsn), F.to_json(payload_v2)).otherwise(
             F.to_json(payload_v1)
         )
@@ -194,18 +207,49 @@ def build_log(spark: SparkSession, spec: LogSpec = LogSpec()) -> DataFrame:
         F.lit("synthetic-wal").alias("connector"),
     )
 
+    null_s = F.lit(None).cast("string")
     return df.select(
         F.col("lsn"),
         (F.lit(1_700_000_000_000) + (F.col("lsn") / 2).cast("long") * 2).alias(
             "ts_ms"
         ),
         F.col("op"),
-        F.struct(
-            repo.alias("repo"), path.alias("path"), commit.alias("commit")
-        ).alias("key"),
+        # TRUNCATE envelopes carry no key (no row identity to merge on)
+        F.when(
+            F.col("op") == "t",
+            F.struct(
+                null_s.alias("repo"), null_s.alias("path"), null_s.alias("commit")
+            ),
+        )
+        .otherwise(
+            F.struct(repo.alias("repo"), path.alias("path"), commit.alias("commit"))
+        )
+        .alias("key"),
         before_json.alias("before_json"),
         after_json.alias("after_json"),
         source.alias("source"),
+        # transaction block (Envelope.java:36-37): stream events group
+        # into ~10-event transactions; snapshot reads carry none
+        F.when(
+            snap,
+            F.lit(None).cast(
+                "struct<id:string,total_order:bigint,data_collection_order:bigint>"
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(
+                    F.lit("tx"), (F.col("lsn") / 10).cast("long").cast("string")
+                ).alias("id"),
+                (F.pmod(F.col("lsn"), F.lit(10)) + 1)
+                .cast("long")
+                .alias("total_order"),
+                (F.pmod(F.col("lsn"), F.lit(10)) + 1)
+                .cast("long")
+                .alias("data_collection_order"),
+            )
+        )
+        .alias("transaction"),
         (F.col("lsn") / spec.epoch_size).cast("long").alias("epoch_hint"),
         (F.col("lsn") / spec.bucket_size).cast("long").alias("lsn_bucket"),
     )

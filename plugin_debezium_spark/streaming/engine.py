@@ -31,7 +31,7 @@ from plugin_debezium_spark.functions.decode import (
     infer_payload_schema,
 )
 from plugin_debezium_spark.functions.hashing import content_sha256
-from plugin_debezium_spark.models import KEY_COLS, base_schema
+from plugin_debezium_spark.models import KEY_COLS, OP_TRUNCATE, base_schema
 from plugin_debezium_spark.operators.dedupe import latest_by_key
 from plugin_debezium_spark.operators.filters import drop_ddl, include_exclude
 from plugin_debezium_spark.operators.metrics import epoch_lineage, stream_counts
@@ -68,6 +68,12 @@ class EngineConfig:
     # out-of-order-safe merge (LWW reduce + tombstones); required when
     # batches may not arrive in LSN order (streaming file source)
     lww_guard: bool = False
+    # TRUNCATE envelopes (op='t', reference ChangeConsumer.java:262-274):
+    # "apply" = table-wide delete at the truncate LSN under ordered
+    # replay (rows last written at or before it die); "drop" = ignore
+    # 't' events. Out-of-order (lww_guard) and append-only (mor) merges
+    # raise on 't' under "apply" — set "drop" there explicitly.
+    truncate_policy: str = "apply"
     # "cow": copy-on-write MERGE (read-optimized; rewrites touched
     #   buckets per epoch).
     # "mor": merge-on-read (ingest-optimized; epochs append delta files
@@ -171,6 +177,8 @@ def filter_events(cfg: EngineConfig, events: DataFrame) -> DataFrame:
     so the paths can't diverge): DDL drop, include/exclude, and the
     key-shard ownership filter."""
     events = drop_ddl(events)
+    if cfg.truncate_policy == "drop":
+        events = events.filter(F.col("op") != OP_TRUNCATE)
     events = include_exclude(
         events, db_include=cfg.db_include, table_include=cfg.table_include
     )
@@ -309,12 +317,24 @@ def _apply_epoch_variant(
     )
     try:
         t0 = time.time()
+        # t_lsn rides the same action: TRUNCATE rows (op='t', null key)
+        # group under the null key in the dedupe, so the max-'t' LSN of
+        # the epoch survives into `latest` — zero extra jobs when the
+        # log carries no truncates.
         agg = latest.agg(
             F.expr("schema_of_variant_agg(_av)").alias("s"),
             F.collect_set("_bucket").alias("bs"),
             F.count("*").alias("n"),
+            F.max(
+                F.when(F.col("op") == OP_TRUNCATE, F.col("lsn"))
+            ).alias("t_lsn"),
         ).collect()[0]
         t1 = time.time()
+        t_lsn = (
+            int(agg["t_lsn"])
+            if agg["t_lsn"] is not None and cfg.truncate_policy == "apply"
+            else None
+        )
         payload_schema = _variant_ddl_to_struct(agg["s"], _payload_base(table))
         payload_cols = [
             f.name for f in payload_schema.fields if f.name not in KEY_COLS
@@ -331,15 +351,29 @@ def _apply_epoch_variant(
             F.col("op"),
             F.col("_bucket"),
         )
+        n_batch_keys = int(agg["n"])
+        touched = sorted(int(x) for x in agg["bs"])
+        if t_lsn is not None:
+            # drop the keyless 't' pseudo-row; winners superseded by
+            # the truncate point become deletes; every bucket is touched
+            decoded = decoded.filter(F.col("op") != OP_TRUNCATE).withColumn(
+                "op",
+                F.when(F.col("_lsn") <= F.lit(t_lsn), F.lit("d")).otherwise(
+                    F.col("op")
+                ),
+            )
+            touched = list(range(table.current().n_buckets))
+            n_batch_keys = max(0, n_batch_keys - 1)
         stats = merge_prepared(
             table,
             decoded,
-            touched=sorted(int(x) for x in agg["bs"]),
-            n_batch_keys=int(agg["n"]),
+            touched=touched,
+            n_batch_keys=n_batch_keys,
             epoch_id=epoch_id,
             last_lsn=hi,
             lww_guard=cfg.lww_guard,
             mor=cfg.merge_mode == "mor",
+            truncate_lsn=t_lsn,
         )
         stats["t_infer_s"] = round(t1 - t0, 2)
         stats["t_merge_s"] = round(time.time() - t1, 2)
@@ -365,6 +399,16 @@ def _apply_epoch_json(
     work = events.cache()
     try:
         t0 = time.time()
+        t_lsn = None
+        if cfg.truncate_policy == "apply":
+            row = work.agg(
+                F.max(
+                    F.when(F.col("op") == OP_TRUNCATE, F.col("lsn"))
+                ).alias("t")
+            ).collect()[0]
+            if row["t"] is not None:
+                t_lsn = int(row["t"])
+                work = work.filter(F.col("op") != OP_TRUNCATE)
         payload_schema = infer_payload_schema(
             work, cols=("after_json",), base=_payload_base(table)
         )
@@ -380,6 +424,7 @@ def _apply_epoch_json(
             last_lsn=hi,
             lww_guard=cfg.lww_guard,
             mor=cfg.merge_mode == "mor",
+            truncate_lsn=t_lsn,
         )
         stats["t_infer_s"] = round(t1 - t0, 2)
         stats["t_merge_s"] = round(time.time() - t1, 2)

@@ -105,7 +105,8 @@ def shape_stream(events: DataFrame, cfg: ExportConfig) -> DataFrame:
     if cfg.metadata:
         shaped = add_metadata(shaped, cfg.metadata_field_name)
     shaped = add_key(shaped, drop=not cfg.key)
-    return shaped.drop("op", "ts_ms", "lsn")
+    # raw envelope columns are packed into metadata by now
+    return shaped.drop("op", "ts_ms", "lsn", "transaction")
 
 
 def export(spark: SparkSession, cfg: ExportConfig) -> dict:

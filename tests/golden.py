@@ -23,6 +23,10 @@ def golden_final_state(log_pdf: pd.DataFrame) -> pd.DataFrame:
     state: dict[tuple, dict] = {}
     for row in log_pdf.itertuples(index=False):
         key = (row.key["repo"], row.key["path"], row.key["commit"])
+        if row.op == "t":
+            # TRUNCATE: table-wide delete at this point in the log
+            state.clear()
+            continue
         if row.op == "d":
             state.pop(key, None)
             continue

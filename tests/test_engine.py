@@ -197,3 +197,62 @@ def test_metrics_lineage_written(spark, log_dir, tmp_path):
     )
     assert lineage.count() > 0
     assert {"op", "n_events", "lsn_lo", "lsn_hi"}.issubset(set(lineage.columns))
+
+
+# --- TRUNCATE semantics (reference ChangeConsumer.java:262-274) -----------
+
+TRUNC_SPEC = LogSpec(
+    n_events=3_000, n_keys=500, n_snapshot=300, epoch_size=1_000,
+    truncate_every=700,
+)
+
+
+@pytest.fixture(scope="module")
+def trunc_log_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("trunc_log"))
+    write_log(spark, d, TRUNC_SPEC)
+    return d
+
+
+def test_truncate_matches_golden(spark, trunc_log_dir, tmp_path):
+    """Multi-epoch replay of a log with TRUNCATE envelopes equals the
+    golden applier (which clears state at each 't')."""
+    table_dir = str(tmp_path / "tbl")
+    cfg = EngineConfig(
+        log_dir=trunc_log_dir, table_dir=table_dir,
+        max_events_per_batch=1_000,
+    )
+    out = run(spark, cfg)
+    assert out["batches_applied"] == 3
+    log_pdf = read_log_pandas(trunc_log_dir)
+    assert (log_pdf["op"] == "t").sum() > 0, "fixture must carry truncates"
+    assert _final_hashes(spark, table_dir) == golden_key_hashes(log_pdf)
+    # every surviving row postdates the last truncate
+    t_max = int(log_pdf.loc[log_pdf["op"] == "t", "lsn"].max())
+    t = LakeTable(spark, table_dir)
+    assert t.read().filter(f"_lsn <= {t_max}").count() == 0
+
+
+def test_truncate_policy_drop_ignores(spark, trunc_log_dir, tmp_path):
+    table_dir = str(tmp_path / "tbl")
+    run(
+        spark,
+        EngineConfig(
+            log_dir=trunc_log_dir, table_dir=table_dir,
+            max_events_per_batch=1_000, truncate_policy="drop",
+        ),
+    )
+    log_pdf = read_log_pandas(trunc_log_dir)
+    no_t = log_pdf[log_pdf["op"] != "t"]
+    assert _final_hashes(spark, table_dir) == golden_key_hashes(no_t)
+
+
+def test_truncate_raises_on_lww_guard(spark, trunc_log_dir, tmp_path):
+    with pytest.raises(ValueError, match="TRUNCATE"):
+        run(
+            spark,
+            EngineConfig(
+                log_dir=trunc_log_dir, table_dir=str(tmp_path / "tbl"),
+                max_events_per_batch=1_000, lww_guard=True,
+            ),
+        )

@@ -90,3 +90,61 @@ def test_add_metadata(spark):
         "metadata.operation", "metadata.timestamp"
     ).collect()
     assert {(r[0], r[1]) for r in out} == {("c", 10), ("u", 20), ("d", 30)}
+
+
+def _env_with_truncate(spark):
+    pdf = pd.DataFrame(
+        {
+            "lsn": [1, 2],
+            "ts_ms": [10, 20],
+            "op": ["c", "t"],
+            "key": [
+                {"repo": "r", "path": "p1", "commit": "k1"},
+                {"repo": None, "path": None, "commit": None},
+            ],
+            "before": [None, None],
+            "after": [
+                {"repo": "r", "path": "p1", "commit": "k1", "content": "new1"},
+                None,
+            ],
+            "source": [
+                {"db": "d", "table": "t", "snapshot": "false", "connector": "x"}
+            ]
+            * 2,
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_truncate_flows_through_inline_with_deleted_flag(spark):
+    """TRUNCATE envelopes are delivered (not dropped as DDL) and carry
+    deleted=true (ChangeConsumer.java:262-274)."""
+    from plugin_debezium_spark.operators.filters import drop_ddl
+
+    shaped = add_deleted(inline(drop_ddl(_env_with_truncate(spark))))
+    got = {r["op"]: r["deleted"] for r in shaped.collect()}
+    assert got == {"c": False, "t": True}
+
+
+def test_add_metadata_transaction_block(spark):
+    """P6 carries the transaction block when the envelope has one
+    (Envelope.java:36-37, ChangeConsumer.java:295) and open
+    properties merge into the same struct."""
+    env = _env(spark).withColumn(
+        "transaction",
+        F.struct(
+            F.concat(F.lit("tx"), F.col("lsn")).alias("id"),
+            F.col("lsn").cast("long").alias("total_order"),
+            F.col("lsn").cast("long").alias("data_collection_order"),
+        ),
+    )
+    out = add_metadata(env, properties={"tag": "s1"}).select("metadata").collect()
+    m = {r["metadata"]["transaction"]["id"]: r["metadata"] for r in out}
+    assert set(m) == {"tx1", "tx2", "tx3"}
+    assert all(v["tag"] == "s1" for v in m.values())
+    assert m["tx2"]["transaction"]["total_order"] == 2
+
+
+def test_add_metadata_without_transaction_column_is_null(spark):
+    out = add_metadata(_env(spark)).select("metadata.transaction").collect()
+    assert all(r["transaction"] is None for r in out)
