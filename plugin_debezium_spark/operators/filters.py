@@ -67,5 +67,26 @@ def column_projection(df: DataFrame, columns: list[str]) -> DataFrame:
     return df.select(*columns)
 
 
+def column_include_exclude(
+    df: DataFrame,
+    include: str | None = None,
+    exclude: str | None = None,
+) -> DataFrame:
+    """F1 regex form — column.include/exclude.list semantics
+    (AbstractDebeziumTask.java:567-589): project the columns whose
+    names match the include regex (all, when absent) minus those
+    matching exclude. Resolved at plan time, so the scan still prunes."""
+    import re
+
+    cols = df.columns
+    if include:
+        inc = re.compile(include)
+        cols = [c for c in cols if inc.fullmatch(c)]
+    if exclude:
+        exc = re.compile(exclude)
+        cols = [c for c in cols if not exc.fullmatch(c)]
+    return df.select(*cols)
+
+
 def is_tombstone(col="op"):
     return F.col(col).isin(OP_DELETE, OP_TRUNCATE)

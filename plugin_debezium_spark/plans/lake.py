@@ -279,11 +279,32 @@ class LakeTable:
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                # record the holder so a crash doesn't orphan the lock
+                # forever: reclaimers check pid liveness + age
+                os.write(
+                    fd,
+                    json.dumps(
+                        {"pid": os.getpid(), "ts": _time.time()}
+                    ).encode(),
+                )
                 break
             except FileExistsError:
+                holder = self._read_lock_holder(lock)
+                if self._lock_is_stale(holder, _time.time()):
+                    # atomic reclaim: only one renamer wins, so two
+                    # concurrent reclaimers can't unlink a fresh lock
+                    claim = lock + f".reclaim-{uuid.uuid4().hex[:6]}"
+                    try:
+                        os.rename(lock, claim)
+                        os.unlink(claim)
+                    except OSError:
+                        pass
+                    continue
                 if _time.time() > deadline:
+                    pid = holder.get("pid", "unknown")
                     raise ConcurrentCommitError(
-                        f"commit lock held for >60s: {lock}"
+                        f"commit lock held for >60s by pid {pid}: {lock} "
+                        "— if that process is dead, delete the lock file"
                     )
                 _time.sleep(0.05)
         try:
@@ -298,6 +319,35 @@ class LakeTable:
         finally:
             os.close(fd)
             os.unlink(lock)
+
+    # seconds after which a lock whose holder can't be proven alive is
+    # reclaimable (same-host pid check short-circuits much earlier)
+    LOCK_TTL_S = 300.0
+
+    @staticmethod
+    def _read_lock_holder(lock: str) -> dict:
+        try:
+            with open(lock) as f:
+                return json.loads(f.read() or "{}")
+        except (OSError, ValueError):
+            return {}
+
+    @staticmethod
+    def _lock_is_stale(holder: dict, now: float) -> bool:
+        pid = holder.get("pid")
+        if isinstance(pid, int):
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                return True  # holder is dead on this host
+            except PermissionError:
+                pass  # alive, owned by someone else
+        ts = holder.get("ts")
+        if isinstance(ts, (int, float)):
+            return now - ts > LakeTable.LOCK_TTL_S
+        # unreadable/legacy lock: only the TTL can clear it — use the
+        # conservative answer (not stale) so we never break a live one
+        return False
 
     def _commit_locked(
         self,

@@ -41,6 +41,19 @@ from plugin_debezium_spark.plans.lake import LakeTable, _cast_to, bucket_expr
 BROADCAST_KEY_LIMIT = 2_000_000
 
 
+def _commit_guard(
+    epoch_key: str, epoch_id: int, props: dict
+) -> tuple[int | None, dict]:
+    """Commit arguments for the chosen idempotence scope: the default
+    scope rides the snapshot's epoch counter; a custom scope stores the
+    id under its own property and leaves last_epoch_id untouched."""
+    if epoch_key == "last_epoch_id":
+        return epoch_id, props
+    p = dict(props)
+    p[epoch_key] = epoch_id
+    return None, p
+
+
 def merge_batch(
     table: LakeTable,
     batch_latest: DataFrame,
@@ -125,10 +138,18 @@ def merge_prepared(
     lww_guard: bool = False,
     mor: bool = False,
     truncate_lsn: int | None = None,
+    epoch_key: str = "last_epoch_id",
 ) -> dict:
     """Core MERGE. ``batch`` must be deduped (one row per key), carry
     ``_bucket``, and be cached by the caller (it is consumed by up to
     two write jobs).
+
+    epoch_key: which snapshot property scopes the idempotence guard.
+    The batch engine uses the default shared counter; a streaming
+    applier passes its own checkpoint-scoped key so its batch ids
+    (which restart at 0 per checkpoint) are never compared against the
+    batch engine's epoch ids — mixing the two on one table must not
+    silently skip batches.
 
     truncate_lsn: the max LSN of any TRUNCATE envelope in this epoch
     (reference op 't', ChangeConsumer.java:262-274). Table-wide delete
@@ -160,7 +181,7 @@ def merge_prepared(
     the max-disorder window.
     """
     prev = table.current()
-    if prev.properties.get("last_epoch_id", -1) >= epoch_id:
+    if int(prev.properties.get(epoch_key, -1)) >= epoch_id:
         # idempotent replay: already committed (reference re-run==0)
         return {"skipped": True, "epoch_id": epoch_id}
 
@@ -196,6 +217,7 @@ def merge_prepared(
             new_schema,
             changes,
             op_col,
+            epoch_key,
         )
     if lww_guard:
         return _merge_lww_guard(
@@ -210,6 +232,7 @@ def merge_prepared(
             changes,
             target_files,
             op_col,
+            epoch_key,
         )
 
     upserts = _cast_to(batch.filter(F.col(op_col) != OP_DELETE), new_schema)
@@ -263,12 +286,13 @@ def merge_prepared(
         results = list(ex.map(_write, jobs))
     new_files = [f for r in results for f in r]
 
+    eid, props = _commit_guard(epoch_key, epoch_id, {"last_lsn": int(last_lsn)})
     snap = table.commit(
         new_files,
         replaced_buckets=bset,
         schema=new_schema,
-        epoch_id=epoch_id,
-        properties={"last_lsn": int(last_lsn)},
+        epoch_id=eid,
+        properties=props,
         expected_parent=prev.snapshot_id,
     )
     return {
@@ -294,6 +318,7 @@ def _merge_mor(
     new_schema: T.StructType,
     changes: list[str],
     op_col: str,
+    epoch_key: str = "last_epoch_id",
 ) -> dict:
     """Append-only epoch: deduped batch → delta files (deletes as
     tombstones); one bucket shuffle, zero target I/O."""
@@ -310,16 +335,17 @@ def _merge_mor(
     new_files = table.write_bucket_data(
         deltas, prev.snapshot_id + 1, tag="delta", kind="delta"
     )
+    eid, props = _commit_guard(
+        epoch_key,
+        epoch_id,
+        {"last_lsn": max(int(last_lsn), int(prev.properties.get("last_lsn", -1)))},
+    )
     snap = table.commit(
         new_files,
         replaced_buckets=set(),  # append-only: nothing replaced
         schema=new_schema,
-        epoch_id=epoch_id,
-        properties={
-            "last_lsn": max(
-                int(last_lsn), int(prev.properties.get("last_lsn", -1))
-            )
-        },
+        epoch_id=eid,
+        properties=props,
         expected_parent=prev.snapshot_id,
     )
     return {
@@ -346,6 +372,7 @@ def _merge_lww_guard(
     changes: list[str],
     target_files: list[dict],
     op_col: str,
+    epoch_key: str = "last_epoch_id",
 ) -> dict:
     """Out-of-order-safe merge: LWW reduce over target ∪ batch with
     tombstone retention (see merge_prepared docstring)."""
@@ -378,12 +405,17 @@ def _merge_lww_guard(
         max(len(touched), 1), F.col("_bucket")
     )
     new_files = table.write_bucket_data(winners, prev.snapshot_id + 1, tag="lww")
+    eid, props = _commit_guard(
+        epoch_key,
+        epoch_id,
+        {"last_lsn": max(int(last_lsn), int(prev.properties.get("last_lsn", -1)))},
+    )
     snap = table.commit(
         new_files,
         replaced_buckets=set(touched),
         schema=new_schema,
-        epoch_id=epoch_id,
-        properties={"last_lsn": max(int(last_lsn), int(prev.properties.get("last_lsn", -1)))},
+        epoch_id=eid,
+        properties=props,
         expected_parent=prev.snapshot_id,
     )
     return {

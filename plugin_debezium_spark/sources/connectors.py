@@ -100,6 +100,30 @@ class ConnectorConfig:
             "table_exclude": rx(self.table_exclude_list),
         }
 
+    def column_regexes(self) -> dict[str, str | None]:
+        """column.include/exclude.list regex form
+        (AbstractDebeziumTask.java:567-589) for column_include_exclude."""
+
+        def rx(vals: list[str]) -> str | None:
+            return "|".join(f"(?:{v})" for v in vals) if vals else None
+
+        return {
+            "include": rx(self.column_include_list),
+            "exclude": rx(self.column_exclude_list),
+        }
+
+    def engine_overrides(self) -> dict:
+        """EngineConfig fields this connector surface decides: the
+        execution wiring for snapshot mode + db/table filters (the
+        reference pushes the same knobs into the Debezium engine,
+        mysql/Capture.java:81-92)."""
+        io = self.include_exclude_regexes()
+        return {
+            "snapshot_mode": self.snapshot_mode.name,
+            "db_include": io["db_include"],
+            "table_include": io["table_include"],
+        }
+
 
 @dataclass
 class MySqlConfig(ConnectorConfig):

@@ -39,17 +39,36 @@ def _payload(col: str) -> F.Column:
 def from_json_lines(
     spark: SparkSession,
     path: str,
-    key_path: str | None = None,
+    wire: str = "value",
     lsn_fields: tuple[str, ...] = DEFAULT_LSN_FIELDS,
     lsn_buckets: int = 64,
     bucket_span: int = 1_000_000,
 ) -> DataFrame:
-    """Read a Debezium topic dump (one JSON value doc per line; key doc
-    optional in a sibling file keyed by offset) into the envelope-log
-    frame. Key columns come from the after/before image's key fields
-    (Debezium's record key mirrors the PK columns).
+    """Read a Debezium topic dump into the envelope-log frame.
+
+    wire="value": one JSON value doc per line; key columns come from
+    the after/before image (Debezium's record key mirrors the PK).
+    wire="combined": each line is {"key": <key doc>, "value": <value
+    doc>} (the record pair MapConverter.convert consumes,
+    MapConverter.java:27-35). Key columns come from the key doc first
+    — so PK-only key docs with key-only deletes round-trip — falling
+    back to the images. Kafka tombstones (null value doc) carry no
+    envelope/position and are dropped, as the reference's non-RAW
+    paths do (ChangeConsumer.java:196-210).
     """
     raw = spark.read.text(path).withColumnRenamed("value", "_raw")
+    if wire == "combined":
+        key_doc = F.coalesce(
+            F.get_json_object(F.col("_raw"), "$.key.payload"),
+            F.get_json_object(F.col("_raw"), "$.key"),
+        )
+        value_doc = F.get_json_object(F.col("_raw"), "$.value")
+        combined = raw.select(
+            key_doc.alias("_key_doc"), value_doc.alias("_value_doc")
+        ).filter(F.col("_value_doc").isNotNull())  # drop tombstones
+        return envelopes_from_value_json(
+            combined, "_value_doc", lsn_fields, bucket_span, key_col="_key_doc"
+        )
     return envelopes_from_value_json(raw, "_raw", lsn_fields, bucket_span)
 
 
@@ -58,7 +77,11 @@ def envelopes_from_value_json(
     col: str,
     lsn_fields: tuple[str, ...] = DEFAULT_LSN_FIELDS,
     bucket_span: int = 1_000_000,
+    key_col: str | None = None,
 ) -> DataFrame:
+    """``key_col``: optional column holding the record-key JSON doc —
+    key fields prefer it over the images (the reference merges the
+    record key into the row, ChangeConsumer.java:276-280)."""
     v = _payload(col)
     lsn = F.coalesce(
         *[
@@ -70,9 +93,16 @@ def envelopes_from_value_json(
     image = F.coalesce(
         F.get_json_object(v, "$.after"), F.get_json_object(v, "$.before")
     )
-    key = F.struct(
-        *[F.get_json_object(image, f"$.{k}").alias(k) for k in KEY_COLS]
-    )
+
+    def _key_field(k: str):
+        from_image = F.get_json_object(image, f"$.{k}")
+        if key_col is None:
+            return from_image.alias(k)
+        return F.coalesce(
+            F.get_json_object(F.col(key_col), f"$.{k}"), from_image
+        ).alias(k)
+
+    key = F.struct(*[_key_field(k) for k in KEY_COLS])
     source = F.struct(
         F.get_json_object(v, "$.source.db").alias("db"),
         F.coalesce(
@@ -134,20 +164,46 @@ def import_to_log(
     w = Window.partitionBy("lsn").orderBy(
         F.col("ts_ms"), F.sha2(F.coalesce("after_json", "before_json"), 256)
     )
+    env = env.withColumn("_rn", F.row_number().over(w) - F.lit(1)).cache()
+    cached = env
+    # Guard the shift before applying it: a tie group larger than the
+    # 16-bit tie space would overflow into the next position's range,
+    # and lsn*65536 needs max(lsn) < 2^47 (Spark arithmetic is
+    # non-ANSI-checked by default — a wrap would silently corrupt the
+    # total order the LWW dedupe relies on). Fail the import loudly.
+    guard = env.agg(
+        F.max("_rn").alias("max_rn"), F.max("lsn").alias("max_lsn")
+    ).collect()[0]
+    if guard["max_rn"] is not None and int(guard["max_rn"]) >= 65536:
+        cached.unpersist()
+        raise ValueError(
+            f"import_to_log: {int(guard['max_rn']) + 1} events share one "
+            "source position — exceeds the 65536-per-position tie space; "
+            "supply a finer lsn_fields ordering for this connector"
+        )
+    if guard["max_lsn"] is not None and int(guard["max_lsn"]) >= 1 << 47:
+        cached.unpersist()
+        raise ValueError(
+            f"import_to_log: max source position {int(guard['max_lsn'])} "
+            ">= 2^47 would overflow the 64-bit shifted LSN; rescale the "
+            "source positions before import"
+        )
     env = env.withColumn(
-        "lsn",
-        F.col("lsn") * F.lit(65536) + F.row_number().over(w) - F.lit(1),
-    )
+        "lsn", F.col("lsn") * F.lit(65536) + F.col("_rn")
+    ).drop("_rn")
     lo, hi = env.agg(F.min("lsn"), F.max("lsn")).collect()[0]
     span = max(1, (int(hi) - int(lo) + 1) // lsn_buckets)
     env = env.withColumn(
         "lsn_bucket", ((F.col("lsn") - F.lit(int(lo))) / span).cast("long")
     )
-    (
-        env.repartition(lsn_buckets, F.col("lsn_bucket"))
-        .sortWithinPartitions("lsn")
-        .write.mode("overwrite")
-        .partitionBy("lsn_bucket")
-        .parquet(log_dir)
-    )
+    try:
+        (
+            env.repartition(lsn_buckets, F.col("lsn_bucket"))
+            .sortWithinPartitions("lsn")
+            .write.mode("overwrite")
+            .partitionBy("lsn_bucket")
+            .parquet(log_dir)
+        )
+    finally:
+        cached.unpersist()
     return log_dir

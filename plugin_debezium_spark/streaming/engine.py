@@ -46,9 +46,34 @@ class EngineConfig:
     table_dir: str
     n_buckets: int = 32
     max_events_per_batch: int = 250_000
-    # stop conditions (reference L4: AbstractDebeziumTask.java:610-634)
+    # stop conditions (reference L4: AbstractDebeziumTask.java:124-152,
+    # evaluation :610-634 — all soft limits, checked between epochs):
+    #   max_batches        — engine-native epoch cap
+    #   max_duration_s     — total wall clock since run start
+    #   max_records        — total change events applied; IGNORED while
+    #                        the snapshot phase is still running
+    #                        (:618-621 gates it on !snapshot)
+    #   max_wait_s         — tail-follow idle timeout: after draining
+    #                        the log, re-plan every poll_interval_s and
+    #                        stop once no new events arrive for this
+    #                        long (the reference's default-on 10s knob)
+    #   max_snapshot_duration_s — cap on the op='r' snapshot phase
+    #                        (:233's do-while bound)
     max_batches: int | None = None
     max_duration_s: float | None = None
+    max_records: int | None = None
+    max_wait_s: float | None = None
+    max_snapshot_duration_s: float | None = None
+    poll_interval_s: float = 1.0
+    # snapshot mode (reference mysql/MysqlInterface.java:43-53):
+    #   INITIAL      — snapshot once (no offsets yet), then stream
+    #   INITIAL_ONLY — snapshot once, then STOP (no change events)
+    #   NEVER        — skip op='r' events entirely
+    #   ALWAYS       — re-apply the snapshot phase on every run (LWW
+    #                  merge keeps newer streamed state)
+    # WHEN_NEEDED/RECOVERY variants need a live server and map to
+    # INITIAL here.
+    snapshot_mode: str = "INITIAL"
     # "variant": parse JSON once into VariantType, infer schema with
     #   schema_of_variant_agg over the cached variants, project with a
     #   cast — the fast path (half the JSON work of "native").
@@ -179,6 +204,10 @@ def filter_events(cfg: EngineConfig, events: DataFrame) -> DataFrame:
     events = drop_ddl(events)
     if cfg.truncate_policy == "drop":
         events = events.filter(F.col("op") != OP_TRUNCATE)
+    if (cfg.snapshot_mode or "INITIAL").upper() == "NEVER":
+        # snapshot mode NEVER: op='r' events are skipped at the scan
+        # (reference MysqlInterface.java:43-53)
+        events = events.filter(F.col("op") != "r")
     events = include_exclude(
         events, db_include=cfg.db_include, table_include=cfg.table_include
     )
@@ -295,6 +324,7 @@ def _apply_epoch_variant(
     events: DataFrame,
     n_events: int | None = None,
     prepared: DataFrame | None = None,
+    epoch_key: str = "last_epoch_id",
 ) -> dict:
     """Fast path. Order of operations is the whole trick:
 
@@ -328,6 +358,9 @@ def _apply_epoch_variant(
             F.max(
                 F.when(F.col("op") == OP_TRUNCATE, F.col("lsn"))
             ).alias("t_lsn"),
+            # snapshot-phase detection for the stop-condition rules
+            # (maxRecords is ignored while snapshotting)
+            F.count(F.when(F.col("op") != "r", 1)).alias("n_stream"),
         ).collect()[0]
         t1 = time.time()
         t_lsn = (
@@ -374,9 +407,11 @@ def _apply_epoch_variant(
             lww_guard=cfg.lww_guard,
             mor=cfg.merge_mode == "mor",
             truncate_lsn=t_lsn,
+            epoch_key=epoch_key,
         )
         stats["t_infer_s"] = round(t1 - t0, 2)
         stats["t_merge_s"] = round(time.time() - t1, 2)
+        stats["has_stream"] = int(agg["n_stream"]) > 0
         if cfg.write_metrics and not stats.get("skipped"):
             _write_metrics(cfg, latest, epoch_id)
         return stats
@@ -400,15 +435,16 @@ def _apply_epoch_json(
     try:
         t0 = time.time()
         t_lsn = None
-        if cfg.truncate_policy == "apply":
-            row = work.agg(
-                F.max(
-                    F.when(F.col("op") == OP_TRUNCATE, F.col("lsn"))
-                ).alias("t")
-            ).collect()[0]
-            if row["t"] is not None:
-                t_lsn = int(row["t"])
-                work = work.filter(F.col("op") != OP_TRUNCATE)
+        row = work.agg(
+            F.max(F.when(F.col("op") == OP_TRUNCATE, F.col("lsn"))).alias(
+                "t"
+            ),
+            F.count(F.when(F.col("op") != "r", 1)).alias("n_stream"),
+        ).collect()[0]
+        has_stream = int(row["n_stream"]) > 0
+        if cfg.truncate_policy == "apply" and row["t"] is not None:
+            t_lsn = int(row["t"])
+            work = work.filter(F.col("op") != OP_TRUNCATE)
         payload_schema = infer_payload_schema(
             work, cols=("after_json",), base=_payload_base(table)
         )
@@ -428,6 +464,7 @@ def _apply_epoch_json(
         )
         stats["t_infer_s"] = round(t1 - t0, 2)
         stats["t_merge_s"] = round(time.time() - t1, 2)
+        stats["has_stream"] = has_stream
         if cfg.write_metrics and not stats.get("skipped"):
             _write_metrics(cfg, work, epoch_id)
         return stats
@@ -469,23 +506,65 @@ def run(spark: SparkSession, cfg: EngineConfig) -> dict:
             spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
 
-def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
-    table = ensure_table(spark, cfg)
-    props = table.current().properties
-    last_lsn = int(props.get("last_lsn", -1))
-    next_epoch = int(props.get("last_epoch_id", -1)) + 1
+def _snapshot_end(spark: SparkSession, cfg: EngineConfig) -> int:
+    """Max LSN of the op='r' snapshot phase (narrow pushed-filter scan
+    of two columns; only computed for INITIAL_ONLY/ALWAYS modes)."""
+    from plugin_debezium_spark.sources.log_reader import read_log
 
-    epochs = plan_epochs(spark, cfg.log_dir, last_lsn, cfg.max_events_per_batch)
-    if cfg.max_batches is not None:
-        epochs = epochs[: cfg.max_batches]
+    row = (
+        read_log(spark, cfg.log_dir)
+        .filter(F.col("op") == "r")
+        .agg(F.max("lsn"))
+        .collect()[0]
+    )
+    return -1 if row[0] is None else int(row[0])
+
+
+def _stop_reason(cfg: EngineConfig, t0: float, state: dict) -> str | None:
+    """Reference ended() (AbstractDebeziumTask.java:610-634): soft
+    limits checked between epochs; maxRecords only counts once the
+    snapshot phase is over; the snapshot phase has its own duration cap
+    (:233)."""
+    now = time.time()
+    if cfg.max_duration_s is not None and now - t0 > cfg.max_duration_s:
+        return "max_duration"
+    if state["in_snapshot"]:
+        if (
+            cfg.max_snapshot_duration_s is not None
+            and now - t0 > cfg.max_snapshot_duration_s
+        ):
+            return "max_snapshot_duration"
+    elif cfg.max_records is not None and state["records"] >= cfg.max_records:
+        return "max_records"
+    return None
+
+
+def _drain(
+    spark: SparkSession,
+    table: LakeTable,
+    cfg: EngineConfig,
+    epochs: list[dict],
+    next_epoch: int,
+    t0: float,
+    state: dict,
+    applied: list,
+    pipelined: bool = True,
+) -> None:
+    """Apply a planned epoch list, honoring stop conditions between
+    epochs and tracking the applied-record count + snapshot flag."""
 
     def _events_of(ep) -> DataFrame:
         return filter_events(
             cfg, read_range(spark, cfg.log_dir, ep["lo"], ep["hi"], ep["buckets"])
         )
 
-    applied = []
-    if cfg.decode_mode == "variant":
+    def _account(ep, stats) -> None:
+        applied.append(stats)
+        state["records"] += int(ep.get("n") or stats.get("batch_keys") or 0)
+        if stats.get("has_stream"):
+            state["in_snapshot"] = False
+
+    if cfg.decode_mode == "variant" and pipelined:
         # Pipelined loop: the next epoch's parse+dedupe (schema-free)
         # materializes in a background thread while the current epoch
         # merges — hides the winner-set computation behind the write
@@ -500,10 +579,9 @@ def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
         with ThreadPoolExecutor(max_workers=1) as ex:
             pending = ex.submit(_prefetch, epochs[0]) if epochs else None
             for i, ep in enumerate(epochs):
-                if (
-                    cfg.max_duration_s is not None
-                    and time.time() - t0 > cfg.max_duration_s
-                ):
+                reason = _stop_reason(cfg, t0, state)
+                if reason is not None:
+                    state["stop"] = reason
                     leftover = pending.result()
                     leftover.unpersist()
                     if hasattr(leftover, "_winner_lsns"):
@@ -515,7 +593,8 @@ def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
                     if i + 1 < len(epochs)
                     else None
                 )
-                applied.append(
+                _account(
+                    ep,
                     _apply_epoch_variant(
                         spark,
                         table,
@@ -525,16 +604,16 @@ def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
                         _events_of(ep),
                         ep.get("n"),
                         prepared=prepared,
-                    )
+                    ),
                 )
     else:
         for i, ep in enumerate(epochs):
-            if (
-                cfg.max_duration_s is not None
-                and time.time() - t0 > cfg.max_duration_s
-            ):
+            reason = _stop_reason(cfg, t0, state)
+            if reason is not None:
+                state["stop"] = reason
                 break
-            applied.append(
+            _account(
+                ep,
                 apply_epoch(
                     spark,
                     table,
@@ -544,11 +623,124 @@ def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
                     ep["hi"],
                     ep["buckets"],
                     ep.get("n"),
-                )
+                ),
             )
+
+
+def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
+    import dataclasses
+
+    table = ensure_table(spark, cfg)
+    props = table.current().properties
+    last_lsn = int(props.get("last_lsn", -1))
+    next_epoch = int(props.get("last_epoch_id", -1)) + 1
+
+    mode = (cfg.snapshot_mode or "INITIAL").upper()
+    if mode in (
+        "WHEN_NEEDED",
+        "RECOVERY",
+        "SCHEMA_ONLY",
+        "SCHEMA_ONLY_RECOVERY",
+        "NO_DATA",
+    ):
+        # these need a live server/schema topic to differ; with a
+        # lake-resident log they degenerate to INITIAL (documented)
+        mode = "INITIAL"
+
+    applied: list = []
+    state = {"records": 0, "in_snapshot": True, "stop": None}
+
+    if mode == "NEVER":
+        # op='r' is filtered at the scan (filter_events); the stop
+        # rules treat the run as stream-only from the start
+        state["in_snapshot"] = False
+
+    if mode == "ALWAYS" and last_lsn >= 0:
+        # re-apply the snapshot phase every run (reference ALWAYS,
+        # MysqlInterface.java:43-53). The LWW-guard merge keeps newer
+        # streamed state on top of re-applied op='r' rows. One
+        # divergence from a live-DB re-snapshot: our frozen log cannot
+        # witness deletes that happened after it, so the re-apply is
+        # restricted to keys still live in the table (otherwise a COW
+        # table, which holds no tombstones, would resurrect them).
+        se = _snapshot_end(spark, cfg)
+        if se >= 0:
+            events = filter_events(
+                cfg, read_range(spark, cfg.log_dir, -1, se)
+            ).filter(F.col("op") == "r")
+            live = table.read().select(*KEY_COLS)
+            events = events.join(
+                live,
+                [events[f"key.{k}"] == live[k] for k in KEY_COLS],
+                "left_semi",
+            )
+            gcfg = dataclasses.replace(cfg, lww_guard=True)
+            if cfg.decode_mode == "variant":
+                stats = _apply_epoch_variant(
+                    spark, table, gcfg, next_epoch, se, events
+                )
+            else:
+                stats = _apply_epoch_json(
+                    spark, table, gcfg, next_epoch, se, events
+                )
+            stats["resnapshot"] = True
+            applied.append(stats)
+            next_epoch += 1
+            last_lsn = int(table.current().properties.get("last_lsn", -1))
+
+    epochs = plan_epochs(spark, cfg.log_dir, last_lsn, cfg.max_events_per_batch)
+    if mode == "INITIAL_ONLY":
+        # consume the snapshot phase, then STOP before change events
+        se = _snapshot_end(spark, cfg)
+        clipped = []
+        for ep in epochs:
+            if ep["lo"] >= se:
+                break
+            ep = dict(ep)
+            ep["hi"] = min(int(ep["hi"]), se)
+            clipped.append(ep)
+        epochs = clipped
+    if cfg.max_batches is not None:
+        epochs = epochs[: cfg.max_batches]
+
+    _drain(spark, table, cfg, epochs, next_epoch, t0, state, applied)
+
+    # tail-follow: after draining, wait up to max_wait_s for new rows
+    # (the reference's default-on maxWait, AbstractDebeziumTask.java:
+    # 629-631), re-planning every poll_interval_s.
+    if (
+        cfg.max_wait_s is not None
+        and state["stop"] is None
+        and mode != "INITIAL_ONLY"
+        and (cfg.max_batches is None or len(applied) < cfg.max_batches)
+    ):
+        last_record_t = time.time()
+        while time.time() - last_record_t <= cfg.max_wait_s:
+            if _stop_reason(cfg, t0, state) is not None:
+                break
+            time.sleep(cfg.poll_interval_s)
+            cur = int(table.current().properties.get("last_lsn", -1))
+            more = plan_epochs(
+                spark, cfg.log_dir, cur, cfg.max_events_per_batch
+            )
+            if cfg.max_batches is not None:
+                more = more[: cfg.max_batches - len(applied)]
+            if not more:
+                continue
+            ne = int(table.current().properties.get("last_epoch_id", -1)) + 1
+            _drain(
+                spark, table, cfg, more, ne, t0, state, applied,
+                pipelined=False,
+            )
+            if state["stop"] is not None:
+                break
+            last_record_t = time.time()
+
     return {
         "batches_applied": len(applied),
         "epochs": applied,
+        "records": state["records"],
+        "stop_reason": state["stop"],
         "last_lsn": int(table.current().properties.get("last_lsn", -1)),
         "wall_s": time.time() - t0,
     }

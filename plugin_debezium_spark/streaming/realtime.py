@@ -38,15 +38,24 @@ def stream_log(
     """Start the streaming applier; returns the StreamingQuery.
 
     Offsets live in BOTH Spark's streaming checkpoint (source progress)
-    and our snapshot properties (epoch idempotence) — a redelivered
-    batch after checkpoint loss is skipped by the epoch guard.
+    and our snapshot properties (epoch idempotence). The idempotence
+    guard is SCOPED TO THIS CHECKPOINT (property
+    ``stream_epoch:<checkpoint-hash>``), never the batch engine's
+    shared epoch counter: a stream whose batch ids restart at 0 on a
+    table previously populated by the batch engine (epoch ids 0..N)
+    must not silently skip its first N micro-batches. After checkpoint
+    loss (a new checkpoint dir), batches re-apply under a fresh scope —
+    safe because the lww_guard merge is idempotent under reapplication.
     """
     import dataclasses
+    import hashlib
 
     # the file source delivers files in listing order, not LSN order —
     # the merge must be out-of-order safe
     cfg = dataclasses.replace(cfg, lww_guard=True)
     table = ensure_table(spark, cfg)
+    ck = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+    epoch_key = f"stream_epoch:{ck}"
 
     stream = (
         spark.readStream.schema(envelope_log_schema())
@@ -62,7 +71,13 @@ def stream_log(
             return
         hi = batch_df.agg(F.max("lsn")).collect()[0][0]
         _apply_epoch_variant(
-            spark, table, cfg, epoch_id=int(batch_id), hi=int(hi), events=batch_df
+            spark,
+            table,
+            cfg,
+            epoch_id=int(batch_id),
+            hi=int(hi),
+            events=batch_df,
+            epoch_key=epoch_key,
         )
 
     writer = (

@@ -116,3 +116,56 @@ def test_debezium_dump_replays_to_final_state(spark, dump, tmp_path):
         ("org/a", "x.py"): "one-v3",
         ("org/b", "z.py"): "three-v1",
     }
+
+def test_combined_wire_key_docs_tombstones_and_key_only_deletes(
+    spark, tmp_path
+):
+    """wire='combined': record key docs drive the key columns (PK-only
+    key docs with key-only deletes round-trip — the images may be null
+    on both sides); Kafka tombstones (null value) are dropped like the
+    reference's non-RAW paths (ChangeConsumer.java:196-210)."""
+    from plugin_debezium_spark.sources.debezium_json import from_json_lines
+
+    k1 = {"repo": "org/a", "path": "x.py", "commit": "c1"}
+    lines = [
+        json.dumps(
+            {"key": {"payload": k1}, "value": json.loads(_value("c", 1, k1, "v1"))}
+        ),
+        # key-only delete: both images null, key doc carries the PK
+        json.dumps(
+            {
+                "key": k1,
+                "value": {
+                    "op": "d",
+                    "ts_ms": 1700000000002,
+                    "before": None,
+                    "after": None,
+                    "source": {"db": "kestra", "table": "repofiles", "lsn": 2},
+                },
+            }
+        ),
+        # Kafka tombstone: null value doc
+        json.dumps({"key": k1, "value": None}),
+    ]
+    p = tmp_path / "combined.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    env = from_json_lines(spark, str(p), wire="combined")
+    rows = {r["lsn"]: r for r in env.collect()}
+    assert set(rows) == {1, 2}  # tombstone dropped
+    d = rows[2]
+    assert d["op"] == "d"
+    assert d["key"]["repo"] == "org/a" and d["key"]["commit"] == "c1"
+    assert d["before_json"] is None and d["after_json"] is None
+
+
+def test_import_guard_rejects_oversized_lsn(spark, tmp_path):
+    """lsn*65536 would wrap 64-bit for positions >= 2^47 — the import
+    must fail loudly instead of corrupting the total order."""
+    k = {"repo": "org/a", "path": "x.py", "commit": "c1"}
+    big = 1 << 48
+    doc = json.loads(_value("c", 1, k, "v1", wrapped=False))
+    doc["source"]["lsn"] = big
+    p = tmp_path / "big.jsonl"
+    p.write_text(json.dumps(doc) + "\n")
+    with pytest.raises(ValueError, match="2\\^47"):
+        import_to_log(spark, str(p), str(tmp_path / "log"))

@@ -256,3 +256,176 @@ def test_truncate_raises_on_lww_guard(spark, trunc_log_dir, tmp_path):
                 max_events_per_batch=1_000, lww_guard=True,
             ),
         )
+
+
+# --- stop conditions L4 (AbstractDebeziumTask.java:124-152,610-634) -------
+
+
+def test_max_records_ignored_during_snapshot(spark, log_dir, tmp_path):
+    """maxRecords only counts once the snapshot phase ends (:618-621):
+    with ~250-event epochs and a 400-event op='r' prefix, epoch 0 is
+    pure snapshot — the engine must NOT stop after it even though the
+    record count already exceeds the limit."""
+    out = run(
+        spark,
+        EngineConfig(
+            log_dir=log_dir,
+            table_dir=str(tmp_path / "tbl"),
+            max_events_per_batch=200,
+            max_records=100,
+        ),
+    )
+    assert out["stop_reason"] == "max_records"
+    # one pure-snapshot epoch passed the gate, the first stream epoch
+    # tripped it
+    assert out["batches_applied"] == 2
+    assert out["records"] > 100
+
+
+def test_max_snapshot_duration_stops(spark, log_dir, tmp_path):
+    out = run(
+        spark,
+        EngineConfig(
+            log_dir=log_dir,
+            table_dir=str(tmp_path / "tbl"),
+            max_events_per_batch=1_000,
+            max_snapshot_duration_s=0.0,
+        ),
+    )
+    assert out["batches_applied"] == 0
+    assert out["stop_reason"] == "max_snapshot_duration"
+
+
+def test_max_wait_tail_follow_picks_up_new_rows(spark, log_dir, tmp_path):
+    """maxWait (default-on in the reference, 10s): after draining the
+    log the engine keeps polling; rows appended within the window are
+    applied; the run ends once the log stays quiet for max_wait_s."""
+    import threading
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    table_dir = str(tmp_path / "tbl")
+    log2 = str(tmp_path / "log2")
+    # private copy of the log so the append can't leak into the shared
+    # module fixture
+    spark.read.parquet(log_dir).write.partitionBy("lsn_bucket").parquet(log2)
+
+    def _append():
+        _time.sleep(1.0)
+        extra = (
+            spark.range(10_000, 10_020)
+            .select(
+                F.col("id").alias("lsn"),
+                F.col("id").alias("ts_ms"),
+                F.lit("c").alias("op"),
+                F.struct(
+                    F.lit("late/repo").alias("repo"),
+                    F.concat(F.lit("f"), F.col("id")).alias("path"),
+                    F.lit("c0").alias("commit"),
+                ).alias("key"),
+                F.lit(None).cast("string").alias("before_json"),
+                F.to_json(
+                    F.struct(
+                        F.lit("late/repo").alias("repo"),
+                        F.concat(F.lit("f"), F.col("id")).alias("path"),
+                        F.lit("c0").alias("commit"),
+                        F.lit("go").alias("lang"),
+                        F.lit("late content").alias("content"),
+                    )
+                ).alias("after_json"),
+                F.struct(
+                    F.lit("kestra").alias("db"),
+                    F.lit("repofiles").alias("table"),
+                    F.lit("false").alias("snapshot"),
+                    F.lit("x").alias("connector"),
+                ).alias("source"),
+                F.lit(None).cast(
+                    "struct<id:string,total_order:bigint,data_collection_order:bigint>"
+                ).alias("transaction"),
+                F.lit(None).cast("long").alias("epoch_hint"),
+                F.lit(999).cast("long").alias("lsn_bucket"),
+            )
+        )
+        extra.write.mode("append").partitionBy("lsn_bucket").parquet(log2)
+
+    t = threading.Thread(target=_append)
+    t.start()
+    out = run(
+        spark,
+        EngineConfig(
+            log_dir=log2,
+            table_dir=table_dir,
+            max_events_per_batch=1_000,
+            max_wait_s=4.0,
+            poll_interval_s=0.25,
+        ),
+    )
+    t.join()
+    assert out["last_lsn"] == 10_019
+    late = LakeTable(spark, table_dir).read().filter("repo = 'late/repo'")
+    assert late.count() == 20
+
+
+# --- snapshot modes S2 (mysql/MysqlInterface.java:43-53) -------------------
+
+
+def test_snapshot_mode_never_skips_reads(spark, log_dir, tmp_path):
+    table_dir = str(tmp_path / "tbl")
+    run(
+        spark,
+        EngineConfig(
+            log_dir=log_dir,
+            table_dir=table_dir,
+            max_events_per_batch=1_000,
+            snapshot_mode="NEVER",
+        ),
+    )
+    log_pdf = read_log_pandas(log_dir)
+    golden = golden_key_hashes(log_pdf[log_pdf["op"] != "r"])
+    assert _final_hashes(spark, table_dir) == golden
+
+
+def test_snapshot_mode_initial_only_stops_after_snapshot(
+    spark, log_dir, tmp_path
+):
+    table_dir = str(tmp_path / "tbl")
+    out = run(
+        spark,
+        EngineConfig(
+            log_dir=log_dir,
+            table_dir=table_dir,
+            max_events_per_batch=1_000,
+            snapshot_mode="INITIAL_ONLY",
+        ),
+    )
+    log_pdf = read_log_pandas(log_dir)
+    snap_only = log_pdf[log_pdf["op"] == "r"]
+    assert _final_hashes(spark, table_dir) == golden_key_hashes(snap_only)
+    assert out["last_lsn"] == int(snap_only["lsn"].max())
+    # a later INITIAL run resumes cleanly into the stream phase
+    run(
+        spark,
+        EngineConfig(
+            log_dir=log_dir, table_dir=table_dir, max_events_per_batch=1_000
+        ),
+    )
+    assert _final_hashes(spark, table_dir) == golden_key_hashes(log_pdf)
+
+
+def test_snapshot_mode_always_resnapshots_without_regression(
+    spark, log_dir, tmp_path
+):
+    table_dir = str(tmp_path / "tbl")
+    cfg = EngineConfig(
+        log_dir=log_dir, table_dir=table_dir, max_events_per_batch=1_000
+    )
+    run(spark, cfg)
+    golden = golden_key_hashes(read_log_pandas(log_dir))
+    assert _final_hashes(spark, table_dir) == golden
+    import dataclasses
+
+    out = run(spark, dataclasses.replace(cfg, snapshot_mode="ALWAYS"))
+    # the re-applied op='r' epoch ran, but LWW keeps streamed state
+    assert any(e.get("resnapshot") for e in out["epochs"])
+    assert _final_hashes(spark, table_dir) == golden

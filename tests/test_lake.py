@@ -234,3 +234,36 @@ def test_evolve_schema_unit():
     assert [f.name for f in out.fields] == ["a", "c"]
     assert out["a"].dataType == T.DoubleType()
     assert len(changes) == 2
+
+
+def test_stale_commit_lock_reclaimed(spark, tmp_path):
+    """A crash while holding the commit lock must not brick the table:
+    locks from dead pids (or older than the TTL) are reclaimed."""
+    import json
+    import os
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    lock = os.path.join(t.meta_dir, "_commit.lock")
+    # a dead holder: pid from a long-gone process
+    with open(lock, "w") as f:
+        json.dump({"pid": 2_000_000_000, "ts": 0.0}, f)
+    snap = t.commit([], replaced_buckets=set(), epoch_id=99)
+    assert snap.properties["last_epoch_id"] == 99
+    assert not os.path.exists(lock)
+
+
+def test_live_lock_not_reclaimed(spark, tmp_path):
+    import json
+    import os
+    import time
+
+    from plugin_debezium_spark.plans.lake import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    lock = os.path.join(t.meta_dir, "_commit.lock")
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+    assert not LakeTable._lock_is_stale(
+        LakeTable._read_lock_holder(lock), time.time()
+    )
+    os.unlink(lock)

@@ -122,3 +122,62 @@ def test_connector_regexes_feed_filters():
     assert rx["db_include"] == "(?:shop)|(?:crm)"
     assert rx["table_exclude"] == "(?:tmp.*)"
     assert rx["db_exclude"] is None
+
+
+def test_stream_after_batch_engine_does_not_skip(spark, tmp_path):
+    """A table populated by the batch engine (epoch ids 0..N) then
+    drained via stream_log (batch ids restarting at 0) must apply every
+    micro-batch — the stream's idempotence guard is scoped to its
+    checkpoint, not the shared epoch counter."""
+    from plugin_debezium_spark.streaming.engine import run
+
+    log = write_log(spark, str(tmp_path / "log"), SPEC)
+    table_dir = str(tmp_path / "tbl")
+    # batch engine consumes the first half only (several epochs so
+    # last_epoch_id > any early stream batch id)
+    cfg = EngineConfig(
+        log_dir=log, table_dir=table_dir, write_metrics=False,
+        max_events_per_batch=250, max_batches=4,
+    )
+    run(spark, cfg)
+    assert LakeTable(spark, table_dir).current().properties[
+        "last_epoch_id"
+    ] >= 3
+    # now drain the WHOLE log via streaming on the same table — before
+    # the checkpoint-scoped guard, micro-batches 0..3 were skipped
+    run_available_now(spark, cfg, str(tmp_path / "ckpt"))
+    got = {
+        tuple(r)
+        for r in LakeTable(spark, table_dir)
+        .read()
+        .select("repo", "path", "commit", "content_sha256")
+        .collect()
+    }
+    assert got == golden_key_hashes(read_log_pandas(log))
+
+
+def test_connector_engine_overrides():
+    c = MySqlConfig(
+        snapshot_mode=SnapshotMode.NEVER,
+        database_include_list=["db1"],
+        table_include_list=["t1", "t2"],
+    )
+    o = c.engine_overrides()
+    assert o["snapshot_mode"] == "NEVER"
+    assert o["db_include"] == "(?:db1)"
+    assert o["table_include"] == "(?:t1)|(?:t2)"
+    cfg = EngineConfig(log_dir="x", table_dir="y", **o)
+    assert cfg.snapshot_mode == "NEVER"
+
+
+def test_column_include_exclude_regex(spark):
+    from plugin_debezium_spark.operators.filters import (
+        column_include_exclude,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"repo": ["r"], "path": ["p"], "secret_ssn": ["x"]})
+    )
+    out = column_include_exclude(df, include="repo|path|secret_.*",
+                                 exclude="secret_.*")
+    assert out.columns == ["repo", "path"]
