@@ -65,6 +65,31 @@ def latest_by_key(
     return reduced.select(*key_cols, "_ev.*")
 
 
+def latest_by_key_twopass(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = KEY_COLS,
+    order_col: str = "lsn",
+) -> DataFrame:
+    """Two-pass LWW dedupe — the engine's production formulation
+    (streaming/engine.prepare_latest) as a standalone operator.
+
+    Pass 1 shuffles ONLY (key, order) — ~24-byte rows instead of full
+    payloads (~60× less shuffle at 1.5 KB/event); pass 2 semi-joins the
+    winner order values back against the unshuffled input, so payloads
+    never move. CONTRACT: ``order_col`` must be unique per event (the
+    envelope log's lsn contract) — a duplicate could smuggle another
+    key's loser through the semi-join. The winner set is broadcast when
+    small; Spark falls back to a shuffle join above the broadcast
+    threshold automatically (AQE)."""
+    winners = (
+        df.select(*key_cols, order_col)
+        .groupBy(*key_cols)
+        .agg(F.max(order_col).alias(order_col))
+        .select(order_col)
+    )
+    return df.join(F.broadcast(winners), order_col, "left_semi")
+
+
 def dedupe_window(
     df: DataFrame, key_cols: tuple[str, ...] = KEY_COLS
 ) -> DataFrame:

@@ -92,10 +92,19 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     n_perms: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join within bands → candidate pairs
     (id_a < id_b, with the number of matching bands). Never computes
-    the cross product: the join key is (band, bucket)."""
+    the cross product: the join key is (band, bucket).
+
+    max_bucket_size: at corpus scale a DEGENERATE bucket (boilerplate,
+    empty docs) of k members still emits k²/2 pairs through the bucket
+    join — the quadratic tail of an otherwise linear plan. Buckets
+    larger than the cap are dropped from pair generation (their members
+    are near-identical to thousands of others; exact dedup or a
+    representative pass handles them more cheaply). Audit what a cap
+    would drop with lsh_bucket_stats(). None (default) = exact."""
     if n_perms % bands != 0:
         raise ValueError(
             f"n_perms ({n_perms}) must divide evenly into bands "
@@ -115,6 +124,16 @@ def minhash_lsh_candidates(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        # aggregate (not window): bucket sizes with map-side combine,
+        # then a broadcast-able semi filter of small buckets
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count("*").alias("_n")
+        )
+        keep = sizes.filter(F.col("_n") <= max_bucket_size).select(
+            "band", "bucket"
+        )
+        banded = banded.join(keep, ["band", "bucket"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -131,6 +150,21 @@ def minhash_lsh_candidates(
     )
 
 
+def lsh_bucket_stats(
+    banded_or_shingles: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Size distribution of join groups (LSH buckets / shingle posting
+    lists): {size → n_groups}. Run before choosing a cap to see what a
+    max_bucket_size / max_doc_freq setting would drop."""
+    return (
+        banded_or_shingles.groupBy(*cols)
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").alias("n_groups"))
+        .orderBy(F.desc("size"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -138,6 +172,7 @@ def ngram_jaccard_pairs(
     group_col: str | None = "source",
     shingle_words: int = 3,
     threshold: float = 0.1,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
@@ -145,6 +180,16 @@ def ngram_jaccard_pairs(
     shingle — the scalable formulation), optionally restricted to the
     same group to bound fan-out. Jaccard from |∩| and per-doc distinct
     shingle counts: |∪| = n_a + n_b − |∩|.
+
+    max_doc_freq: the classic quadratic blowup of inverted-index
+    self-joins is a STOP-SHINGLE shared by m docs → m²/2 join rows.
+    Shingles whose document frequency exceeds the cap are excluded
+    from candidate generation (standard near-dup practice: ubiquitous
+    shingles carry no similarity signal). |∩| then undercounts pairs
+    whose overlap includes capped shingles, so the reported jaccard is
+    a LOWER BOUND for those pairs; per-doc counts n_a/n_b stay exact.
+    Audit a corpus with lsh_bucket_stats(shingles, ["shingle"]).
+    None (default) = exact.
     """
     shingles = df.select(
         F.col(id_col),
@@ -154,6 +199,14 @@ def ngram_jaccard_pairs(
         ).alias("shingle"),
     )
     counts = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if max_doc_freq is not None:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        shingles = shingles.join(rare, "shingle", "left_semi")
     a, b = shingles.alias("a"), shingles.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

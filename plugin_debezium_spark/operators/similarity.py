@@ -176,10 +176,24 @@ def cosine_neardup_pairs(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing: exact
-    cosine computed only within buckets."""
+    cosine computed only within buckets.
+
+    max_bucket_size: a degenerate bucket of k vectors (zero vectors,
+    mass-duplicated embeddings) emits k²/2 pairs; buckets above the cap
+    are excluded from pair generation (route them to exact dedup
+    instead). None (default) = all buckets."""
     b = hyperplane_signature(df, dim, n_planes, vec_col=vec_col)
+    if max_bucket_size is not None:
+        keep = (
+            b.groupBy("bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("bucket")
+        )
+        b = b.join(keep, "bucket", "left_semi")
     a_side = b.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),

@@ -129,12 +129,16 @@ def _with_derived_source(env: DataFrame) -> DataFrame:
 
 
 def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 LWW dedupe + delete policy: pure-DataFrame final state (the
-    same plan the engine runs inside one micro-batch)."""
-    from plugin_debezium_spark.operators.dedupe import latest_by_key
+    """A2 LWW dedupe + delete policy via the two-pass formulation (the
+    engine's production path): pass 1 shuffles 24-byte (key, lsn) rows,
+    pass 2 semi-joins winners — payloads never shuffle (~60× less
+    shuffle than max_by over full rows at 1.5 KB/event)."""
+    from plugin_debezium_spark.operators.dedupe import latest_by_key_twopass
 
     env = envelopes_from_events(spark, sf_dir)
-    return _final_state_select(latest_by_key(env, ("repo", "path", "commit")))
+    return _final_state_select(
+        latest_by_key_twopass(env, ("repo", "path", "commit"))
+    )
 
 
 def cdc_final_state_salted(spark: SparkSession, sf_dir: str) -> DataFrame:

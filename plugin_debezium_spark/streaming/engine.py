@@ -263,6 +263,13 @@ def prepare_latest(
     """
     from plugin_debezium_spark.plans.lake import bucket_expr
 
+    def _persist(df: DataFrame) -> DataFrame:
+        if os.environ.get("SPARK_GRAFT_CACHE_SER", "0") == "1":
+            from pyspark import StorageLevel
+
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
+        return df.cache()
+
     nb = table.current().n_buckets
     base_cols = [
         F.col("key.repo").alias("repo"),
@@ -297,13 +304,12 @@ def prepare_latest(
             # sources/debezium_json.import_to_log enforces it on import) —
             # a duplicate lsn could smuggle another key's loser through
             # this semi-join.
-            latest = (
+            latest = _persist(
                 events.join(F.broadcast(winner_lsns), "lsn", "left_semi")
                 .select(
                     *base_cols, F.parse_json(F.col("after_json")).alias("_av")
                 )
                 .withColumn("_bucket", bucket_expr(KEY_COLS, nb))
-                .cache()
             )
             # released with the epoch (apply's finally unpersists both)
             latest._winner_lsns = winner_lsns
@@ -312,7 +318,7 @@ def prepare_latest(
     work = events.select(
         *base_cols, F.parse_json(F.col("after_json")).alias("_av")
     ).withColumn("_bucket", bucket_expr(KEY_COLS, nb))
-    return latest_by_key(work, KEY_COLS, cfg.n_salts).cache()
+    return _persist(latest_by_key(work, KEY_COLS, cfg.n_salts))
 
 
 def _apply_epoch_variant(

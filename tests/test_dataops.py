@@ -168,3 +168,95 @@ def test_multimodal_real_mode_raises(spark, docs):
     media = attach_binary_payload(docs, "text", "doc_id")
     with pytest.raises(Exception, match="NotImplementedError|real image"):
         extract_media_features(media, decode_mode="real").collect()
+
+def test_ngram_doc_freq_cap_kills_stop_shingle_blowup(spark):
+    """Adversarial corpus: every doc shares one stop phrase (the
+    classic m²/2 inverted-index blowup). With max_doc_freq the
+    stop-shingle posting list is excluded: candidate pairs stay
+    bounded by the rare-shingle overlaps, and genuine near-dups
+    (sharing RARE shingles) are still found."""
+    import pandas as pd
+
+    from plugin_debezium_spark.operators.neardup import (
+        lsh_bucket_stats,
+        ngram_jaccard_pairs,
+    )
+
+    stop = "the quick brown fox jumps"
+    rows = [
+        {"doc_id": i, "source": "s", "text": f"{stop} unique{i} a{i} b{i} c{i}"}
+        for i in range(300)
+    ]
+    # one genuine near-dup pair sharing rare content
+    rows.append({"doc_id": 1000, "source": "s",
+                 "text": f"{stop} rare alpha beta gamma delta"})
+    rows.append({"doc_id": 1001, "source": "s",
+                 "text": f"{stop} rare alpha beta gamma delta"})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    capped = ngram_jaccard_pairs(
+        df, threshold=0.05, max_doc_freq=10
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1000, 1001) in pairs
+    # without the stop shingles, unrelated docs share nothing: the
+    # 300-doc clique (~45k pairs uncapped) is gone
+    assert len(pairs) < 50
+    # the audit helper exposes what the cap dropped
+    from pyspark.sql import functions as F
+
+    sh = df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 2, 1)),"
+                " i -> array_join(slice(split(trim(text), '\\\\s+'), i, 3), ' '))"
+            )
+        ).alias("shingle"),
+    )
+    stats = lsh_bucket_stats(sh, ["shingle"]).collect()
+    assert max(r["size"] for r in stats) >= 300
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
+    import pandas as pd
+
+    from plugin_debezium_spark.operators.neardup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    # 100 identical docs (one degenerate bucket) + 2 near-dups
+    rows = [{"doc_id": i, "text": "same boilerplate text everywhere ok"}
+            for i in range(100)]
+    rows.append({"doc_id": 200, "text": "rare special doc one two three"})
+    rows.append({"doc_id": 201, "text": "rare special doc one two three"})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    sigs = minhash_signatures(df)
+    uncapped = minhash_lsh_candidates(sigs).count()
+    capped = minhash_lsh_candidates(sigs, max_bucket_size=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert uncapped > 4000  # the k^2/2 blowup is real
+    assert pairs == {(200, 201)}  # cap keeps the genuine near-dup only
+
+
+def test_cosine_bucket_cap(spark):
+    import numpy as np
+    import pandas as pd
+
+    from plugin_debezium_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    # 50 identical vectors (degenerate bucket) + one near-dup pair
+    base = [1.0] + [0.0] * 15
+    other = [0.0] * 15 + [1.0]
+    rows = [{"vec_id": i, "embedding": base} for i in range(50)]
+    rows += [{"vec_id": 100, "embedding": other},
+             {"vec_id": 101, "embedding": other}]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = cosine_neardup_pairs(
+        df, dim=16, threshold=0.9, n_planes=4, max_bucket_size=10
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs)  # degenerate bucket dropped

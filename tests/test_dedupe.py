@@ -48,3 +48,34 @@ def test_lww_picks_max_lsn(spark):
     hot = out.filter(F.col("repo") == "hot/r").collect()
     assert len(hot) == 1
     assert hot[0]["lsn"] == 49 and hot[0]["content"] == "v49"
+
+
+def test_twopass_equals_onepass(spark):
+    """latest_by_key_twopass ≡ latest_by_key when the order column is
+    unique (the log contract)."""
+    import pandas as pd
+
+    from plugin_debezium_spark.operators.dedupe import (
+        latest_by_key,
+        latest_by_key_twopass,
+    )
+
+    rows = [
+        ("r1", "p1", "c1", f"v{i}", i, i) for i in range(10)
+    ] + [("r2", "p2", "c2", f"w{i}", 100 + i, 100 + i) for i in range(5)]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["repo", "path", "commit", "content", "lsn", "ts_ms"]
+        )
+    )
+    one = {tuple(r) for r in latest_by_key(df).collect()}
+    two = {
+        tuple(r)
+        for r in latest_by_key_twopass(df)
+        .select("repo", "path", "commit", "content")  # align col order
+        .collect()
+    }
+    one_aligned = {
+        (r[0], r[1], r[2], r[3]) for r in one
+    }
+    assert two == one_aligned
