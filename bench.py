@@ -65,6 +65,16 @@ def _worker(log_dir: str, table_dir: str, cores: int, batch: int) -> None:
                 "wall_s": wall,
                 "batches": out["batches_applied"],
                 "last_lsn": out["last_lsn"],
+                # per-epoch phase walls: infer/merge critical-path split
+                # for the scaling-residual accounting in BENCH/BASELINE
+                "epochs": [
+                    {
+                        k: v
+                        for k, v in e.items()
+                        if k in ("t_infer_s", "t_merge_s", "batch_keys")
+                    }
+                    for e in out.get("epochs", [])
+                ],
             }
         )
     )
@@ -214,6 +224,40 @@ hit the same ceiling. On a real 4N-executor cluster each executor
 brings its own memory bus, so the denominator scales with machines —
 this measurement is the sandbox proxy the environment permits. Levels
 are configurable via SPARK_GRAFT_SCALING_CORES.
+
+## Scaling residual attribution (one-time measurement, round 2)
+
+Where the gap between the engine's ~0.47 and pure-CPU's 0.81 lives,
+itemized on the 16M-event bench log:
+
+1. **Zero-engine Spark proxy** — the same data volume through plain
+   DataFrame ops with NO engine code (parquet scan → parse_json →
+   columnar cache → variant cast + sha256 → bucket repartition →
+   parquet write): local[4] 46.2–54.3 s vs local[16] 27.6–31.0 s →
+   **efficiency 0.42–0.49 for the workload CLASS itself**. The engine
+   replay (0.46–0.48) sits at/above this ceiling — the residual vs
+   0.81 is the host's memory-bandwidth bound on byte-churning Spark
+   stages, not engine overhead.
+2. **Driver-serial share** — plan_epochs footer scan + LakeTable
+   commits + manifest walks, monkeypatch-timed inside a full replay:
+   0.15 s of 21.6 s at local[16] (**0.69%**), 0.14 s of 40.7 s at
+   local[4] (0.36%). Epoch planning fans footer reads over a thread
+   pool (sources/log_reader.py) and manifests are thread-pooled
+   (plans/lake.py), so the metadata layer is max-per-bucket, not
+   sum-over-files.
+3. **Schema inference off the critical path** — the per-epoch
+   schema_of_variant_agg/stats action runs in the prefetch thread
+   hidden under the previous epoch's merge (streaming/engine.py
+   _epoch_agg): measured t_infer = 0.0 s on both epochs at both
+   levels (was a blocking collect per epoch). Pipelining is worth
+   more at 16 cores (serial-mode 24.0 s → pipelined 21.6 s) than at
+   4 (45.4 → 40.7), lifting measured efficiency.
+4. **Null knobs** — write-task fan-out (k salted sub-partitions per
+   bucket, SPARK_GRAFT_WRITE_FANOUT) and serialized winner cache
+   (SPARK_GRAFT_CACHE_SER) A/B'd at 2 reps × both levels: all within
+   run-to-run noise (16-core best-of 22.3–23.8 s across conditions).
+   Fan-out is inert at these levels (touched buckets = 32 ≥ 2×16
+   slots → k=1); it engages above 32 slots on a cluster.
 
 Per-query wall seconds at sf={result['sf']} are in the driver's
 BENCH_r{{N}}.json (`queries` map).

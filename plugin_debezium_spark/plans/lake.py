@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from plugin_debezium_spark.models import KEY_COLS
+from plugin_debezium_spark.plans.fs import LocalMetaFS
 
 _CURRENT = "_current"
 
@@ -80,9 +81,15 @@ def bucket_expr(key_cols=KEY_COLS, n_buckets: int = 32):
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, path: str):
+    """``fs`` is the metadata I/O boundary (plans/fs.py): snapshot
+    manifests, the _current pointer, and the commit lock go through it
+    exclusively, so an object-store deployment swaps the implementation
+    — data files are Spark-written and never touch it."""
+
+    def __init__(self, spark: SparkSession, path: str, fs=None):
         self.spark = spark
         self.path = path
+        self.fs = fs or LocalMetaFS()
         self.meta_dir = os.path.join(path, "metadata")
         self.data_dir = os.path.join(path, "data")
 
@@ -95,9 +102,10 @@ class LakeTable:
         schema: T.StructType,
         n_buckets: int = 32,
         key_cols: tuple[str, ...] = KEY_COLS,
+        fs=None,
     ) -> "LakeTable":
-        t = LakeTable(spark, path)
-        os.makedirs(t.meta_dir, exist_ok=True)
+        t = LakeTable(spark, path, fs=fs)
+        t.fs.mkdirs(t.meta_dir)
         os.makedirs(t.data_dir, exist_ok=True)
         snap = Snapshot(
             snapshot_id=0,
@@ -114,26 +122,31 @@ class LakeTable:
         return t
 
     @staticmethod
-    def exists(path: str) -> bool:
-        return os.path.exists(os.path.join(path, "metadata", _CURRENT))
+    def exists(path: str, fs=None) -> bool:
+        return (fs or LocalMetaFS()).exists(
+            os.path.join(path, "metadata", _CURRENT)
+        )
 
     def current(self) -> Snapshot:
-        with open(os.path.join(self.meta_dir, _CURRENT)) as f:
-            name = f.read().strip()
-        with open(os.path.join(self.meta_dir, name)) as f:
-            return Snapshot.from_json(f.read())
+        name = self.fs.read_text(
+            os.path.join(self.meta_dir, _CURRENT)
+        ).strip()
+        return Snapshot.from_json(
+            self.fs.read_text(os.path.join(self.meta_dir, name))
+        )
 
     def snapshot(self, snapshot_id: int) -> Snapshot:
         """Load a historical snapshot (manifests are immutable)."""
-        with open(
-            os.path.join(self.meta_dir, f"v{snapshot_id:08d}.json")
-        ) as f:
-            return Snapshot.from_json(f.read())
+        return Snapshot.from_json(
+            self.fs.read_text(
+                os.path.join(self.meta_dir, f"v{snapshot_id:08d}.json")
+            )
+        )
 
     def snapshots(self) -> list[int]:
         return sorted(
             int(n[1:9])
-            for n in os.listdir(self.meta_dir)
+            for n in self.fs.list(self.meta_dir)
             if n.startswith("v") and n.endswith(".json")
         )
 
@@ -228,6 +241,11 @@ class LakeTable:
         return self._manifest_entries(out, kind)
 
     def _manifest_entries(self, out: str, kind: str = "base") -> list[dict]:
+        """DATA-layer stats, not MetaFS: lists and footer-reads the
+        parquet files Spark just wrote, so it uses the same storage
+        Spark did (local os.walk here; pyarrow's S3/HDFS FileSystem on
+        an object store). Only the resulting manifest JSON goes through
+        the MetaFS boundary."""
         from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
@@ -267,46 +285,36 @@ class LakeTable:
         fully intact (orphan data files are harmless garbage).
 
         Optimistic concurrency: the whole read-validate-swap runs under
-        an O_EXCL lock file (single-filesystem CAS; an object-store
-        deployment swaps this for a catalog CAS). Pass expected_parent
-        to abort when another writer committed since the caller's basis
-        snapshot (ConcurrentCommitError)."""
+        an exclusive-create lock (fs.create_exclusive — O_EXCL locally,
+        a conditional PUT / catalog CAS on an object store). Pass
+        expected_parent to abort when another writer committed since
+        the caller's basis snapshot (ConcurrentCommitError)."""
         lock = os.path.join(self.meta_dir, "_commit.lock")
-        fd = None
         import time as _time
 
         deadline = _time.time() + 60
         while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                # record the holder so a crash doesn't orphan the lock
-                # forever: reclaimers check pid liveness + age
-                os.write(
-                    fd,
-                    json.dumps(
-                        {"pid": os.getpid(), "ts": _time.time()}
-                    ).encode(),
-                )
+            # record the holder so a crash doesn't orphan the lock
+            # forever: reclaimers check pid liveness + age
+            if self.fs.create_exclusive(
+                lock, json.dumps({"pid": os.getpid(), "ts": _time.time()})
+            ):
                 break
-            except FileExistsError:
-                holder = self._read_lock_holder(lock)
-                if self._lock_is_stale(holder, _time.time()):
-                    # atomic reclaim: only one renamer wins, so two
-                    # concurrent reclaimers can't unlink a fresh lock
-                    claim = lock + f".reclaim-{uuid.uuid4().hex[:6]}"
-                    try:
-                        os.rename(lock, claim)
-                        os.unlink(claim)
-                    except OSError:
-                        pass
-                    continue
-                if _time.time() > deadline:
-                    pid = holder.get("pid", "unknown")
-                    raise ConcurrentCommitError(
-                        f"commit lock held for >60s by pid {pid}: {lock} "
-                        "— if that process is dead, delete the lock file"
-                    )
-                _time.sleep(0.05)
+            holder = self._read_lock_holder(lock)
+            if self._lock_is_stale(holder, _time.time()):
+                # atomic reclaim: only one renamer wins, so two
+                # concurrent reclaimers can't unlink a fresh lock
+                claim = lock + f".reclaim-{uuid.uuid4().hex[:6]}"
+                if self.fs.rename_if_exists(lock, claim):
+                    self.fs.delete(claim)
+                continue
+            if _time.time() > deadline:
+                pid = holder.get("pid", "unknown")
+                raise ConcurrentCommitError(
+                    f"commit lock held for >60s by pid {pid}: {lock} "
+                    "— if that process is dead, delete the lock file"
+                )
+            _time.sleep(0.05)
         try:
             return self._commit_locked(
                 new_files,
@@ -317,18 +325,15 @@ class LakeTable:
                 expected_parent,
             )
         finally:
-            os.close(fd)
-            os.unlink(lock)
+            self.fs.delete(lock)
 
     # seconds after which a lock whose holder can't be proven alive is
     # reclaimable (same-host pid check short-circuits much earlier)
     LOCK_TTL_S = 300.0
 
-    @staticmethod
-    def _read_lock_holder(lock: str) -> dict:
+    def _read_lock_holder(self, lock: str) -> dict:
         try:
-            with open(lock) as f:
-                return json.loads(f.read() or "{}")
+            return json.loads(self.fs.read_text(lock) or "{}")
         except (OSError, ValueError):
             return {}
 
@@ -392,19 +397,13 @@ class LakeTable:
 
     def _write_snapshot(self, snap: Snapshot) -> None:
         name = f"v{snap.snapshot_id:08d}.json"
-        p = os.path.join(self.meta_dir, name)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(snap.to_json())
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, p)
-        cur_tmp = os.path.join(self.meta_dir, _CURRENT + f".tmp-{uuid.uuid4().hex[:6]}")
-        with open(cur_tmp, "w") as f:
-            f.write(name)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(cur_tmp, os.path.join(self.meta_dir, _CURRENT))
+        # manifest first, pointer second: the pointer swap is the one
+        # atomic instant (fs.write_atomic's contract — tmp+fsync+rename
+        # locally, atomic PUT on an object store)
+        self.fs.write_atomic(
+            os.path.join(self.meta_dir, name), snap.to_json()
+        )
+        self.fs.write_atomic(os.path.join(self.meta_dir, _CURRENT), name)
 
 
 def _cast_to(df: DataFrame, target: T.StructType) -> DataFrame:

@@ -76,6 +76,37 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ).select("id_a", "id_b", "n_inter", "n_a", "n_b")
 
 
+def dedup_ngram_jaccard_capped(spark, sf_dir):
+    """Scale-capped n-gram Jaccard: shingles whose document frequency
+    exceeds 8 are excluded from candidate generation (max_doc_freq in
+    operators/neardup.py) — the inverted-index fan-out stays bounded on
+    stop-shingle-heavy corpora; n_inter becomes a lower bound for pairs
+    whose overlap includes capped shingles."""
+    out = ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        group_col="source",
+        shingle_words=3,
+        threshold=0.0,
+        max_doc_freq=8,
+    )
+    return out.filter(
+        F.col("n_inter") * 50
+        >= (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    ).select("id_a", "id_b", "n_inter", "n_a", "n_b")
+
+
+def dedup_minhash_lsh_capped(spark, sf_dir):
+    """LSH candidate pairs with the degenerate-bucket cap: (band,
+    bucket) groups larger than 4 are dropped from pair generation
+    (max_bucket_size), bounding the k²/2 tail."""
+    sigs = minhash_signatures(
+        _docs(spark, sf_dir), n_perms=8, shingle_words=3
+    )
+    return minhash_lsh_candidates(
+        sigs, n_perms=8, bands=2, max_bucket_size=4
+    )
+
+
 def dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), n_bits=16)
 
@@ -205,6 +236,21 @@ def emb_neardup_pairs_exact(spark, sf_dir):
     )
 
 
+def emb_cosine_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup pairs via hyperplane-LSH bucketing (exact
+    cosine only within buckets) — the unblocked scale path next to
+    emb_neardup_pairs_exact's label-blocked all-pairs. Buckets are
+    sha-derived exact integer arithmetic, reproduced by the oracle."""
+    from plugin_debezium_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    e = _embs(spark, sf_dir)
+    return cosine_neardup_pairs(
+        e, dim=_EMB_DIM, threshold=0.25, n_planes=4
+    ).select("id_a", "id_b")
+
+
 def multimodal_features(spark, sf_dir):
     media = attach_binary_payload(
         _docs(spark, sf_dir), src_col="text", media_id_col="doc_id"
@@ -282,6 +328,43 @@ FROM inter
 JOIN counts ca ON ca.doc_id = id_a
 JOIN counts cb ON cb.doc_id = id_b
 WHERE n_inter * 50 >= (ca.n_sh + cb.n_sh - n_inter)
+""",
+    "dedup_ngram_jaccard_capped": f"""
+WITH {_SHINGLES3},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+rare AS (SELECT shingle FROM shingles GROUP BY 1 HAVING count(*) <= 8),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM rare)
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter, ca.n_sh AS n_a, cb.n_sh AS n_b
+FROM inter
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE n_inter * 50 >= (ca.n_sh + cb.n_sh - n_inter)
+""",
+    "dedup_minhash_lsh_capped": _MINHASH_SIG
+    + """,
+banded AS (
+  SELECT doc_id, 0 AS band,
+         sha256(mh0::VARCHAR || ',' || mh1::VARCHAR || ',' || mh2::VARCHAR || ',' || mh3::VARCHAR) AS bucket
+  FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         sha256(mh4::VARCHAR || ',' || mh5::VARCHAR || ',' || mh6::VARCHAR || ',' || mh7::VARCHAR) AS bucket
+  FROM sig
+),
+keep AS (SELECT band, bucket FROM banded GROUP BY 1, 2 HAVING count(*) <= 4)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+FROM banded a
+JOIN keep k ON k.band = a.band AND k.bucket = a.bucket
+JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2
 """,
     "dedup_simhash": """
 WITH toks AS (
@@ -460,11 +543,28 @@ DATA_ORACLES["text_lang_id"] = (
     + " FROM documents"
 )
 
+DATA_ORACLES["emb_cosine_neardup_lsh"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1024) AS BIGINT)) AS q
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, ({_lsh_bucket_sql(_EMB_DIM, 4)}) AS bucket FROM e)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_dot_product(a.v, c.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))
+      >= 0.25
+"""
+
 DATA_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_simhash": dedup_simhash,
     "text_token_counts": text_token_counts,
     "text_quality_features": text_quality_features,
@@ -474,5 +574,6 @@ DATA_QUERIES = {
     "emb_topk_bruteforce": emb_topk_bruteforce,
     "emb_topk_lsh": emb_topk_lsh,
     "emb_neardup_pairs_exact": emb_neardup_pairs_exact,
+    "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
     "multimodal_features": multimodal_features,
 }

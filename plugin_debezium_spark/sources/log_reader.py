@@ -79,15 +79,18 @@ def _bucket_stats(log_dir: str, last_lsn: int) -> list[tuple[int, int, int]]:
     pages, just file statistics (the same trick Iceberg manifests
     pull). Approximation: a bucket whose max_lsn > last_lsn counts all
     its rows; fine because epochs close on bucket boundaries, so a
-    resume never lands mid-bucket."""
+    resume never lands mid-bucket.
+
+    Footer reads fan out over a thread pool (pyarrow footer parsing
+    drops the GIL): planning cost is max-per-bucket, not
+    sum-over-buckets — the driver-side metadata walk stops being a
+    serial tax as buckets/files grow."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
-    out = []
-    for name in sorted(os.listdir(log_dir)):
-        if not name.startswith("lsn_bucket="):
-            continue
+    def _scan_bucket(name: str) -> tuple[int, int, int] | None:
         bucket = int(name.split("=")[1])
         n = 0
         hi = None
@@ -123,7 +126,14 @@ def _bucket_stats(log_dir: str, last_lsn: int) -> list[tuple[int, int, int]]:
                     "enabled, the parquet default)"
                 )
         if hi is not None and hi > last_lsn:
-            out.append((bucket, n, hi))
+            return (bucket, n, hi)
+        return None
+
+    names = [
+        n for n in sorted(os.listdir(log_dir)) if n.startswith("lsn_bucket=")
+    ]
+    with ThreadPoolExecutor(max_workers=min(16, max(len(names), 1))) as ex:
+        out = [r for r in ex.map(_scan_bucket, names) if r is not None]
     return sorted(out)
 
 

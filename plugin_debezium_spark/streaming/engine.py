@@ -121,18 +121,27 @@ class EngineConfig:
     # Kafka-partitioned CDC layout); each owns its own table shard and
     # the union of shards is the table (key-disjoint by construction).
     shard: tuple[int, int] | None = None
+    # metadata I/O boundary for the lake table (plans/fs.py): None =
+    # local filesystem; inject an object-store/catalog implementation
+    # to run the identical engine against non-POSIX metadata.
+    meta_fs: object | None = None
 
 
 def ensure_table(spark: SparkSession, cfg: EngineConfig) -> LakeTable:
-    if LakeTable.exists(cfg.table_dir):
-        return LakeTable(spark, cfg.table_dir)
+    if LakeTable.exists(cfg.table_dir, fs=cfg.meta_fs):
+        return LakeTable(spark, cfg.table_dir, fs=cfg.meta_fs)
     fields = [f for f in base_schema().fields]
     fields.append(T.StructField("content_sha256", T.StringType(), True))
     fields.append(T.StructField("_lsn", T.LongType(), True))
     fields.append(T.StructField("_ts_ms", T.LongType(), True))
     fields.append(T.StructField("_deleted", T.BooleanType(), True))
     return LakeTable.create(
-        spark, cfg.table_dir, T.StructType(fields), cfg.n_buckets, KEY_COLS
+        spark,
+        cfg.table_dir,
+        T.StructType(fields),
+        cfg.n_buckets,
+        KEY_COLS,
+        fs=cfg.meta_fs,
     )
 
 
@@ -321,6 +330,31 @@ def prepare_latest(
     return _persist(latest_by_key(work, KEY_COLS, cfg.n_salts))
 
 
+def _epoch_agg(latest: DataFrame):
+    """ONE action over the winner set: materializes the cache AND
+    computes schema inference + the touched-bucket set + key count +
+    truncate point + snapshot-phase flag together (no separate
+    count()-then-agg double pass). Depends only on the epoch's own
+    rows — never on the table — so the driver loop can run it in the
+    prefetch thread, hidden under the previous epoch's merge.
+
+    t_lsn rides the same action: TRUNCATE rows (op='t', null key)
+    group under the null key in the dedupe, so the max-'t' LSN of
+    the epoch survives into `latest` — zero extra jobs when the
+    log carries no truncates."""
+    return latest.agg(
+        F.expr("schema_of_variant_agg(_av)").alias("s"),
+        F.collect_set("_bucket").alias("bs"),
+        F.count("*").alias("n"),
+        F.max(F.when(F.col("op") == OP_TRUNCATE, F.col("lsn"))).alias(
+            "t_lsn"
+        ),
+        # snapshot-phase detection for the stop-condition rules
+        # (maxRecords is ignored while snapshotting)
+        F.count(F.when(F.col("op") != "r", 1)).alias("n_stream"),
+    ).collect()[0]
+
+
 def _apply_epoch_variant(
     spark: SparkSession,
     table: LakeTable,
@@ -353,21 +387,11 @@ def _apply_epoch_variant(
     )
     try:
         t0 = time.time()
-        # t_lsn rides the same action: TRUNCATE rows (op='t', null key)
-        # group under the null key in the dedupe, so the max-'t' LSN of
-        # the epoch survives into `latest` — zero extra jobs when the
-        # log carries no truncates.
-        agg = latest.agg(
-            F.expr("schema_of_variant_agg(_av)").alias("s"),
-            F.collect_set("_bucket").alias("bs"),
-            F.count("*").alias("n"),
-            F.max(
-                F.when(F.col("op") == OP_TRUNCATE, F.col("lsn"))
-            ).alias("t_lsn"),
-            # snapshot-phase detection for the stop-condition rules
-            # (maxRecords is ignored while snapshotting)
-            F.count(F.when(F.col("op") != "r", 1)).alias("n_stream"),
-        ).collect()[0]
+        # the stats pass may already have run in the prefetch thread
+        # (hidden under the previous epoch's merge) — see _epoch_agg
+        agg = getattr(latest, "_agg", None)
+        if agg is None:
+            agg = _epoch_agg(latest)
         t1 = time.time()
         t_lsn = (
             int(agg["t_lsn"])
@@ -579,7 +603,10 @@ def _drain(
 
         def _prefetch(ep) -> DataFrame:
             d = prepare_latest(table, cfg, _events_of(ep), ep.get("n"))
-            d.count()  # materialize the cache
+            # one action materializes the cache AND computes the epoch
+            # stats (schema/buckets/count) the apply step needs — the
+            # whole inference pass leaves the critical path
+            d._agg = _epoch_agg(d)
             return d
 
         with ThreadPoolExecutor(max_workers=1) as ex:

@@ -264,6 +264,6 @@ def test_live_lock_not_reclaimed(spark, tmp_path):
     with open(lock, "w") as f:
         json.dump({"pid": os.getpid(), "ts": time.time()}, f)
     assert not LakeTable._lock_is_stale(
-        LakeTable._read_lock_holder(lock), time.time()
+        t._read_lock_holder(lock), time.time()
     )
     os.unlink(lock)
