@@ -169,6 +169,84 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_lists: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its n_lists nearest centroids by cosine
+    (IVF coarse quantizer). Centroids are a SMALL DataFrame
+    (cid, centroid) — broadcast, so assignment is one map-side pass
+    over the corpus (k dot products per vector, no shuffle until the
+    tiny per-vector top-n window). Ties break on ascending cid.
+
+    Centroids are supplied, not trained: in production IVF the coarse
+    quantizer is trained offline (sampled k-means) and shipped as a
+    lookup table; any deterministic centroid set works for the
+    mechanism. Dot products use the JVM aggregate expression (strict
+    left-to-right summation) so an external oracle reproduces the
+    argmax bit-for-bit — numpy matmul would not guarantee order."""
+    c = centroids.select(
+        F.col("cid"),
+        F.col("centroid").alias("_cvec"),
+        F.expr(norm_expr("centroid")).alias("_cn"),
+    )
+    scored = df.withColumn(
+        "_vn", F.expr(norm_expr(vec_col))
+    ).join(F.broadcast(c)).withColumn(
+        "_ccos", F.expr(dot_over_norms(vec_col, "_cvec", "_vn", "_cn"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= n_lists)
+        .drop("_cvec", "_cn", "_vn", "_ccos", "_crank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest
+    centroid's inverted list; each query probes its nprobe nearest
+    lists and scores only those vectors. At 100 TB the corpus table is
+    partitioned by cid so a query reads nprobe partitions — the same
+    pruning shape as the hyperplane-LSH path but with data-adaptive
+    cells. Recall grows with nprobe (nprobe = n_centroids ≡ brute
+    force)."""
+    cl = ivf_assign(corpus, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.expr(norm_expr(vec_col)).alias("cn"),
+        "cid",
+    )
+    ql = ivf_assign(queries, centroids, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(norm_expr(vec_col)).alias("qn"),
+        "cid",
+    )
+    scored = cl.join(F.broadcast(ql), "cid").withColumn(
+        "cosine", F.expr(dot_over_norms("qvec", "cvec", "qn", "cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     dim: int,

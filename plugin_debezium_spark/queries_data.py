@@ -236,6 +236,28 @@ def emb_neardup_pairs_exact(spark, sf_dir):
     )
 
 
+def emb_topk_ivf(spark, sf_dir):
+    """IVF approximate ANN: 4 deterministic centroids (the lowest-id
+    corpus vectors — in production the coarse quantizer is trained
+    offline and shipped), corpus in 1 inverted list each, queries
+    probe nprobe=2 lists. Same deterministic tie-breaks as the
+    bruteforce/LSH variants; the oracle reproduces the double
+    arithmetic exactly (JVM left-to-right sums == list_dot_product)."""
+    from plugin_debezium_spark.operators.similarity import ivf_topk
+
+    e = _embs(spark, sf_dir)
+    cent = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") <= 8)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    return ivf_topk(
+        e.filter(F.col("vec_id") >= 5),
+        e.filter(F.col("vec_id") < 5),
+        cent,
+        k=3,
+        nprobe=2,
+    ).select("query_id", "rank", "neighbor_id")
+
+
 def emb_cosine_neardup_lsh(spark, sf_dir):
     """Embedding near-dup pairs via hyperplane-LSH bucketing (exact
     cosine only within buckets) — the unblocked scale path next to
@@ -558,6 +580,41 @@ WHERE list_dot_product(a.v, c.v)
       >= 0.25
 """
 
+_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b})))"
+)
+
+DATA_ORACLES["emb_topk_ivf"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 5 AND 8),
+cassign AS (
+  SELECT vec_id AS neighbor_id, v AS cvec, cid FROM (
+    SELECT c.vec_id, c.v, t.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {_COS.format(a='c.v', b='t.cv')} DESC, t.cid ASC) AS r
+    FROM e c, cent t WHERE c.vec_id >= 5) WHERE r = 1
+),
+qassign AS (
+  SELECT vec_id AS query_id, v AS qvec, cid FROM (
+    SELECT q.vec_id, q.v, t.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_COS.format(a='q.v', b='t.cv')} DESC, t.cid ASC) AS r
+    FROM e q, cent t WHERE q.vec_id < 5) WHERE r <= 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS.format(a='qvec', b='cvec')} AS cosine
+  FROM cassign JOIN qassign USING (cid)
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
+"""
+
 DATA_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
@@ -573,6 +630,7 @@ DATA_QUERIES = {
     "text_fingerprint": text_fingerprint,
     "emb_topk_bruteforce": emb_topk_bruteforce,
     "emb_topk_lsh": emb_topk_lsh,
+    "emb_topk_ivf": emb_topk_ivf,
     "emb_neardup_pairs_exact": emb_neardup_pairs_exact,
     "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
     "multimodal_features": multimodal_features,

@@ -169,6 +169,60 @@ def test_multimodal_real_mode_raises(spark, docs):
     with pytest.raises(Exception, match="NotImplementedError|real image"):
         extract_media_features(media, decode_mode="real").collect()
 
+def test_ivf_topk_full_probe_equals_bruteforce(spark):
+    """nprobe = n_centroids degenerates IVF to exact search: every
+    query probes every inverted list, so the result must equal
+    brute-force top-k row for row."""
+    import pandas as pd
+
+    from plugin_debezium_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rows = [
+        {"vec_id": i, "embedding": [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]}
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    corpus = df.filter(F.col("vec_id") >= 5)
+    queries = df.filter(F.col("vec_id") < 5)
+    cent = corpus.filter(F.col("vec_id") <= 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    exact = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in brute_force_topk(corpus, queries, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk(corpus, queries, cent, k=3, nprobe=4).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_assign_one_list_per_vector(spark):
+    import pandas as pd
+
+    from plugin_debezium_spark.operators.similarity import ivf_assign
+
+    rows = [
+        {"vec_id": i, "embedding": [1.0 if j == i % 4 else 0.01 for j in range(4)]}
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    cent = spark.createDataFrame(
+        pd.DataFrame(
+            [{"cid": c, "centroid": [1.0 if j == c else 0.0 for j in range(4)]}
+             for c in range(4)]
+        )
+    )
+    out = ivf_assign(df, cent, n_lists=1).collect()
+    assert len(out) == 20
+    # axis-aligned vectors land in the matching axis centroid's list
+    assert all(r["cid"] == r["vec_id"] % 4 for r in out)
+
+
 def test_ngram_doc_freq_cap_kills_stop_shingle_blowup(spark):
     """Adversarial corpus: every doc shares one stop phrase (the
     classic m²/2 inverted-index blowup). With max_doc_freq the
