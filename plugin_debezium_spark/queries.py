@@ -213,6 +213,71 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 merge-on-read end-to-end: the same log replayed with
+    merge_mode='mor' (append-only delta epochs, ZERO target I/O per
+    epoch), then COMPACTED (delta folds into base, tombstones expire at
+    the log horizon) — final state must equal the COW replay's oracle
+    row for row. Exercises read-time LWW resolution before compaction
+    implicitly (compact reads through _resolve_lww) and the
+    post-compaction pure-base read."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from plugin_debezium_spark.plans.compact import compact
+    from plugin_debezium_spark.plans.lake import LakeTable
+    from plugin_debezium_spark.streaming.engine import EngineConfig, run
+
+    env = envelopes_from_events(spark, sf_dir)
+    log = env.select(
+        "lsn",
+        "ts_ms",
+        "op",
+        F.struct("repo", "path", "commit").alias("key"),
+        F.lit(None).cast("string").alias("before_json"),
+        F.when(F.col("op") == "d", F.lit(None).cast("string"))
+        .otherwise(
+            F.to_json(F.struct("repo", "path", "commit", "lang", "content"))
+        )
+        .alias("after_json"),
+        F.struct(
+            F.lit("kestra").alias("db"),
+            F.lit("repofiles").alias("table"),
+            F.lit("false").alias("snapshot"),
+            F.lit("events").alias("connector"),
+        ).alias("source"),
+        F.lit(0).cast("long").alias("epoch_hint"),
+        (F.col("lsn") / 2500).cast("long").alias("lsn_bucket"),
+    )
+    d = tempfile.mkdtemp(prefix="cdc_mor_")
+    atexit.register(shutil.rmtree, d, True)
+    log.write.mode("overwrite").partitionBy("lsn_bucket").parquet(f"{d}/log")
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    max_lsn = env.agg(F.max("lsn")).collect()[0][0]
+    cfg = EngineConfig(
+        log_dir=f"{d}/log",
+        table_dir=f"{d}/tbl",
+        max_events_per_batch=max(2500, n_events // 4 + 1),
+        write_metrics=False,
+        merge_mode="mor",
+        truncate_policy="drop",
+    )
+    run(spark, cfg)
+    t = LakeTable(spark, f"{d}/tbl")
+    # log fully consumed → every tombstone is past the horizon
+    compact(t, expire_tombstones_below_lsn=int(max_lsn) + 1)
+    return t.read().select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        "content_sha256",
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
 def cdc_replay_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2/P4 TRUNCATE semantics end-to-end: a log where some delete
     positions become TRUNCATE envelopes (op='t', no key, no images —
@@ -450,6 +515,7 @@ ORACLES: dict[str, str] = {
     "cdc_final_state": FINAL_STATE_SQL,
     "cdc_final_state_salted": FINAL_STATE_SQL,
     "cdc_replay_final_state": FINAL_STATE_SQL,
+    "cdc_replay_mor": FINAL_STATE_SQL,
     "cdc_replay_truncate": f"""
 WITH {ENV_SQL},
 env2 AS (
@@ -536,6 +602,7 @@ QUERIES = {
     "cdc_final_state": cdc_final_state,
     "cdc_final_state_salted": cdc_final_state_salted,
     "cdc_replay_final_state": cdc_replay_final_state,
+    "cdc_replay_mor": cdc_replay_mor,
     "cdc_replay_truncate": cdc_replay_truncate,
     "cdc_dedupe_window": cdc_dedupe_window,
     "cdc_column_projection": cdc_column_projection,
