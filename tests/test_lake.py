@@ -206,6 +206,48 @@ def test_concurrent_commit_rejected(spark, tmp_path):
     assert t.read().count() == 2
 
 
+def test_commit_contention_cas_retry(spark, tmp_path):
+    """Six writers race commits against the same table with the
+    standard CAS-retry loop (recompute basis on ConcurrentCommitError):
+    every commit lands exactly once, the snapshot chain is linear, and
+    no file set is lost — the multi-writer story an object-store
+    catalog deployment needs."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from plugin_debezium_spark.plans.lake import (
+        ConcurrentCommitError,
+        bucket_expr,
+    )
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    # data writes are serial Spark jobs; only the COMMITS race
+    file_sets = []
+    for i in range(6):
+        df = _batch(
+            spark, [(f"r{i}", f"p{i}", f"c{i}", f"v{i}")], with_op=False
+        ).withColumn("_bucket", bucket_expr(KEY_COLS, 4))
+        file_sets.append(t.write_bucket_data(df, 100 + i, tag=f"w{i}"))
+
+    def committer(files):
+        retries = 0
+        while True:
+            basis = t.current().snapshot_id
+            try:
+                t.commit(files, set(), expected_parent=basis)
+                return retries
+            except ConcurrentCommitError:
+                retries += 1
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        list(ex.map(committer, file_sets))
+    snap = t.current()
+    assert snap.snapshot_id == 6  # 0 (create) + 6 linear commits
+    committed = {f["path"] for f in snap.files}
+    expected = {f["path"] for fs in file_sets for f in fs}
+    assert committed == expected
+    assert t.read().count() == 6
+
+
 def test_time_travel_reads(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=2)
     merge_batch(
