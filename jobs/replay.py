@@ -31,6 +31,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-events-per-batch", type=int, default=5_000_000)
     p.add_argument("--max-batches", type=int, default=None)
     p.add_argument("--max-duration-s", type=float, default=None)
+    p.add_argument("--max-records", type=int, default=None,
+                   help="stop after N change events (ignored during snapshot)")
+    p.add_argument("--max-wait-s", type=float, default=None,
+                   help="tail-follow idle timeout after draining")
+    p.add_argument("--max-snapshot-duration-s", type=float, default=None)
+    p.add_argument("--snapshot-mode", default="INITIAL",
+                   choices=["INITIAL", "INITIAL_ONLY", "NEVER", "ALWAYS"])
+    p.add_argument("--merge-mode", default="cow", choices=["cow", "mor"],
+                   help="mor = append-only delta epochs + periodic compaction")
+    p.add_argument("--lww-guard", action="store_true",
+                   help="out-of-order-safe merge (LWW reduce + tombstones)")
+    p.add_argument("--truncate-policy", default="apply",
+                   choices=["apply", "drop"])
     p.add_argument("--decode-mode", default="variant",
                    choices=["variant", "native", "arrow"])
     p.add_argument("--sha-mode", default="native", choices=["native", "arrow"])
@@ -63,6 +76,13 @@ def main(argv: list[str] | None = None) -> int:
         max_events_per_batch=args.max_events_per_batch,
         max_batches=args.max_batches,
         max_duration_s=args.max_duration_s,
+        max_records=args.max_records,
+        max_wait_s=args.max_wait_s,
+        max_snapshot_duration_s=args.max_snapshot_duration_s,
+        snapshot_mode=args.snapshot_mode,
+        merge_mode=args.merge_mode,
+        lww_guard=args.lww_guard,
+        truncate_policy=args.truncate_policy,
         decode_mode=args.decode_mode,
         sha_mode=args.sha_mode,
         n_salts=args.n_salts,
