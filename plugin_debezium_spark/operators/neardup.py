@@ -240,6 +240,84 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node's label converges to the smallest
+    node id reachable from it. The canonical follow-up to candidate-pair
+    generation — pairs → duplicate CLUSTERS → keep min-id per cluster.
+
+    Each round is two shuffles (message groupBy + label merge) and the
+    round count is the graph DIAMETER (one hop per round) — near-dup
+    components are dense and shallow, so typical corpora converge in
+    <5 rounds; switch to large-star/small-star (log-diameter) if a
+    workload ever ships long chains. Lineage is cut per round
+    (localCheckpoint) so the plan doesn't grow exponentially — the
+    standard Spark iterative-algorithm pattern. Raises if not converged
+    within max_iters (a diameter that large means the input is not
+    near-dup pairs).
+
+    nodes: optional (id) DataFrame of ALL nodes; ids absent from any
+    edge become singleton clusters labeled by themselves."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    labels = und.select(F.col("s").alias("id")).distinct()
+    if nodes is not None:
+        labels = labels.union(nodes.toDF("id")).distinct()
+    labels = labels.withColumn("label", F.col("id")).localCheckpoint()
+    for _ in range(max_iters):
+        # neighbor labels flow along edges; a node keeps min(own, heard)
+        msgs = (
+            und.join(labels, und["s"] == labels["id"])
+            .select(F.col("d").alias("id"), "label")
+            .groupBy("id")
+            .agg(F.min("label").alias("_heard"))
+        )
+        merged = (
+            labels.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_heard"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            merged.alias("m")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("m.label") != F.col("l.label"))
+            .count()
+        )
+        labels = merged
+        if changed == 0:
+            return labels.select(F.col("id"), F.col("label").alias("cluster"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds"
+    )
+
+
+def dedup_cluster_reps(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """doc_id → (cluster, is_rep): cluster = min doc id of the doc's
+    duplicate component (docs in no pair are their own singleton
+    cluster); is_rep marks the one row per cluster a dedup pass keeps."""
+    cc = connected_components(pairs, nodes=df.select(id_col))
+    return cc.select(
+        F.col("id").alias(id_col),
+        "cluster",
+        (F.col("id") == F.col("cluster")).alias("is_rep"),
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -107,6 +107,20 @@ def dedup_minhash_lsh_capped(spark, sf_dir):
     )
 
 
+def dedup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS: connected components (iterative min-label
+    propagation) over the MinHash-LSH candidate pairs — every doc gets
+    its component's min doc_id as cluster, singletons label themselves,
+    is_rep marks the row a dedup pass keeps. The oracle computes the
+    same transitive closure with a recursive CTE."""
+    from plugin_debezium_spark.operators.neardup import dedup_cluster_reps
+
+    d = _docs(spark, sf_dir)
+    sigs = minhash_signatures(d, n_perms=8, shingle_words=3)
+    pairs = minhash_lsh_candidates(sigs, n_perms=8, bands=2)
+    return dedup_cluster_reps(d, pairs)
+
+
 def dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), n_bits=16)
 
@@ -388,6 +402,37 @@ JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """,
+    # recursive transitive closure needs WITH RECURSIVE up front
+    "dedup_clusters": _MINHASH_SIG.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+banded AS (
+  SELECT doc_id, 0 AS band,
+         sha256(mh0::VARCHAR || ',' || mh1::VARCHAR || ',' || mh2::VARCHAR || ',' || mh3::VARCHAR) AS bucket
+  FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         sha256(mh4::VARCHAR || ',' || mh5::VARCHAR || ',' || mh6::VARCHAR || ',' || mh7::VARCHAR) AS bucket
+  FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+walk(node, reach) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.node, e.d FROM walk w JOIN edges e ON e.s = w.reach
+)
+SELECT node AS doc_id, min(reach) AS cluster,
+       (node = min(reach)) AS is_rep
+FROM walk GROUP BY node
+""",
     "dedup_simhash": """
 WITH toks AS (
   SELECT doc_id,
@@ -622,6 +667,7 @@ DATA_QUERIES = {
     "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "text_token_counts": text_token_counts,
     "text_quality_features": text_quality_features,

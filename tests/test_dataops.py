@@ -169,6 +169,36 @@ def test_multimodal_real_mode_raises(spark, docs):
     with pytest.raises(Exception, match="NotImplementedError|real image"):
         extract_media_features(media, decode_mode="real").collect()
 
+def test_connected_components_chain_and_singletons(spark):
+    """A 6-node chain (diameter 5 — worst case for per-hop label
+    propagation), a separate triangle, and isolated nodes: every node
+    labels with its component's min id; singletons label themselves."""
+    import pandas as pd
+
+    from plugin_debezium_spark.operators.neardup import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(10, 15)]  # 10-11-...-15
+    tri = [(1, 2), (2, 3), (1, 3)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(chain + tri, columns=["id_a", "id_b"])
+    )
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"id": list(range(1, 4)) + list(range(10, 16)) + [99]})
+    )
+    got = {
+        (r["id"], r["cluster"])
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    expect = (
+        {(i, 1) for i in (1, 2, 3)}
+        | {(i, 10) for i in range(10, 16)}
+        | {(99, 99)}
+    )
+    assert got == expect
+
+
 def test_ivf_topk_full_probe_equals_bruteforce(spark):
     """nprobe = n_centroids degenerates IVF to exact search: every
     query probes every inverted list, so the result must equal
