@@ -281,15 +281,20 @@ ratio — at production scale COW epoch cost is O(touched table), MOR is
 O(batch); use `EngineConfig(merge_mode="mor")` + periodic compaction
 for ingest-heavy workloads.
 
-## Soak (robustness at 4x bench scale, one-time measurement)
+## Soak (robustness at 4x bench scale, re-measured round 2)
 
 64,000,000 events (11 GB log, 6.4M keys, 4 epochs of 16M) replayed on
-local[32] with the default 16 GB heap: 212 s wall = 302k events/s
-sustained, final table 5,762,478 rows, offsets/lineage correct.
-Exercises the adaptive dedupe gate (6.4M winners > broadcast limit →
-one-pass path) and the >2M-key shuffle anti-join fallback in the
-merge. An earlier run of the same soak exposed and fixed a
-winner-broadcast OOM — see streaming/engine.py EngineConfig.
+local[32]: **146.8 s wall = 436k events/s** sustained (round 1: 212 s
+/ 302k — the prefetched inference + pipeline work lands at scale too),
+final table 5,762,478 rows (bit-identical to round 1), t_infer 0.0 s
+on all four epochs. Exercises the adaptive dedupe gate (6.4M winners >
+broadcast limit → one-pass path) and the >2M-key shuffle anti-join
+fallback in the merge. This soak has now caught TWO memory bugs: a
+winner-broadcast OOM in round 1 (EngineConfig.winner_broadcast_limit)
+and, in round 2, a columnar-cache-build OOM at 32 threads on a 16 GB
+heap (ColumnBuilder buffers live OUTSIDE Spark's managed memory) —
+fixed by scaling the default heap with core count and capping
+inMemoryColumnarStorage.batchSize for ~1.5 KB rows (session.py).
 """
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
     with open(

@@ -263,43 +263,64 @@ def connected_components(
     near-dup pairs).
 
     nodes: optional (id) DataFrame of ALL nodes; ids absent from any
-    edge become singleton clusters labeled by themselves."""
+    edge become singleton clusters labeled by themselves — appended
+    AFTER the loop, so iteration cost is proportional to the edge set,
+    not the corpus (singletons can never change label)."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    und = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    labels = und.select(F.col("s").alias("id")).distinct()
-    if nodes is not None:
-        labels = labels.union(nodes.toDF("id")).distinct()
-    labels = labels.withColumn("label", F.col("id")).localCheckpoint()
+    # materialize the edge list ONCE: without this, every round's
+    # message join re-executes the upstream pair-generation pipeline
+    und = e.union(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint()
+    labels = (
+        und.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    done = False
     for _ in range(max_iters):
-        # neighbor labels flow along edges; a node keeps min(own, heard)
+        # neighbor labels flow along edges; a node keeps min(own,
+        # heard). The convergence check rides the same materialization:
+        # _chg is computed in the checkpoint pass, then a cheap agg
+        # over the checkpointed rows — one shuffle round + two tiny
+        # jobs per iteration.
         msgs = (
             und.join(labels, und["s"] == labels["id"])
             .select(F.col("d").alias("id"), "label")
             .groupBy("id")
             .agg(F.min("label").alias("_heard"))
         )
-        merged = (
-            labels.join(msgs, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_heard"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            merged.alias("m")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("m.label") != F.col("l.label"))
-            .count()
-        )
-        labels = merged
+        merged = labels.withColumnRenamed("label", "_old").join(
+            msgs, "id", "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("_old"), F.coalesce(F.col("_heard"), F.col("_old"))
+            ).alias("label"),
+            (
+                F.coalesce(F.col("_heard"), F.col("_old")) < F.col("_old")
+            ).cast("int").alias("_chg"),
+        ).localCheckpoint()
+        changed = merged.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels = merged.drop("_chg")
         if changed == 0:
-            return labels.select(F.col("id"), F.col("label").alias("cluster"))
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds"
-    )
+            done = True
+            break
+    if not done:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    out = labels.select(F.col("id"), F.col("label").alias("cluster"))
+    if nodes is not None:
+        singletons = (
+            nodes.toDF("id")
+            .distinct()
+            .join(out.select("id"), "id", "left_anti")
+            .withColumn("cluster", F.col("id"))
+        )
+        out = out.unionByName(singletons)
+    return out
 
 
 def dedup_cluster_reps(

@@ -40,12 +40,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        # local mode = one JVM for everything; execution memory must
-        # scale with concurrent tasks (~0.5 GB/core floor, 8 GB min)
+        # local mode = one JVM for everything; heap must scale with
+        # concurrent tasks (floor 16g, 1g/core above that): N columnar
+        # cache-building tasks each hold ColumnBuilder buffers OUTSIDE
+        # the managed memory region, and a 64M-event soak at 32 threads
+        # OOMed a 16g heap in exactly that path. On a cluster this is
+        # ordinary per-executor memory sizing.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_DRIVER_MEM", f"{max(8, cores // 2)}g"),
+            os.environ.get("SPARK_DRIVER_MEM", f"{max(16, cores)}g"),
         )
+        # fat rows (~1.5 KB envelopes): the default 10k-row columnar
+        # cache batch is ~15 MB per builder per task — cap it so
+        # transient builder memory stays bounded at high parallelism
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "4096")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
