@@ -78,3 +78,45 @@ def compact(
         "files_after": len(new_files),
         "snapshot_id": out.snapshot_id,
     }
+
+
+def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
+    """Retire old snapshots and reclaim their data files (the
+    expire_snapshots + remove_orphan_files half of Iceberg maintenance;
+    compact() is the rewrite_data_files half). Without this a COW table
+    accumulates one full rewrite of every touched bucket per epoch —
+    at production scale, disk grows with replay LENGTH, not table size.
+
+    Keeps the newest ``keep_last`` snapshots intact (time travel within
+    the retention window still works; older read_at() targets are
+    gone). A data file is deleted only when NO retained snapshot
+    references it — files shared across snapshots (MOR bases, untouched
+    buckets) survive. Metadata deletes go through the MetaFS boundary;
+    data-file deletes use the data layer's storage, same as the writes.
+    Runs outside the commit lock: it never changes the current pointer,
+    and concurrent readers of retained snapshots only ever see files
+    this pass provably does not touch."""
+    import os
+
+    keep_last = max(1, keep_last)
+    ids = table.snapshots()
+    retained, expired = ids[-keep_last:], ids[:-keep_last]
+    if not expired:
+        return {"expired": 0, "data_files_deleted": 0}
+    referenced = {
+        f["path"] for sid in retained for f in table.snapshot(sid).files
+    }
+    deleted = 0
+    for sid in expired:
+        for f in table.snapshot(sid).files:
+            if f["path"] in referenced:
+                continue
+            try:
+                os.remove(os.path.join(table.path, f["path"]))
+                deleted += 1
+            except FileNotFoundError:
+                pass  # already reclaimed by an earlier pass
+        table.fs.delete(
+            os.path.join(table.meta_dir, f"v{sid:08d}.json")
+        )
+    return {"expired": len(expired), "data_files_deleted": deleted}

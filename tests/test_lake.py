@@ -248,6 +248,45 @@ def test_commit_contention_cas_retry(spark, tmp_path):
     assert t.read().count() == 6
 
 
+def test_expire_snapshots_reclaims_unreferenced_files(spark, tmp_path):
+    """Three COW epochs leave three generations of rewritten buckets on
+    disk; expire_snapshots(keep_last=1) deletes every data file no
+    retained snapshot references, keeps every file the current one
+    does, and removes the retired manifests — final state unchanged."""
+    import glob
+
+    from plugin_debezium_spark.plans.compact import expire_snapshots
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    for i in range(3):
+        merge_batch(
+            t,
+            _batch(spark, [("r", f"p{j}", "c", f"v{i}", "c") for j in range(4)]),
+            epoch_id=i,
+            last_lsn=i,
+        )
+    n_files_before = len(
+        glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"),
+                  recursive=True)
+    )
+    before = {tuple(r) for r in t.read().collect()}
+    stats = expire_snapshots(t, keep_last=1)
+    assert stats["expired"] == 3  # create + epochs 0,1 retired
+    assert stats["data_files_deleted"] > 0
+    assert t.snapshots() == [3]
+    # every retained-snapshot file still exists; table reads unchanged
+    for f in t.current().files:
+        assert os.path.exists(os.path.join(t.path, f["path"]))
+    assert {tuple(r) for r in t.read().collect()} == before
+    n_files_after = len(
+        glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"),
+                  recursive=True)
+    )
+    assert n_files_after < n_files_before
+    # idempotent / safe to re-run
+    assert expire_snapshots(t, keep_last=1)["expired"] == 0
+
+
 def test_time_travel_reads(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=2)
     merge_batch(
