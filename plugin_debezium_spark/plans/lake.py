@@ -186,6 +186,33 @@ class LakeTable:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df
 
+    def lookup(self, **key_values) -> DataFrame:
+        """Point read: hash the key to its bucket and scan ONLY that
+        bucket's files — cost is O(table/n_buckets) regardless of table
+        size (the payoff of hash-bucketed layout; at n_buckets=10^4 a
+        100 TB table answers a key probe from ~10 GB of files, and the
+        key equality predicate pushes into those scans). Partial keys
+        are rejected: the bucket is a hash of the FULL key."""
+        snap = self.current()
+        missing = [k for k in snap.key_cols if k not in key_values]
+        if missing:
+            raise ValueError(
+                f"lookup needs the full key {snap.key_cols}; missing {missing}"
+            )
+        one = self.spark.createDataFrame(
+            [tuple(key_values[k] for k in snap.key_cols)],
+            T.StructType(
+                [T.StructField(k, T.StringType()) for k in snap.key_cols]
+            ),
+        )
+        bucket = one.select(
+            bucket_expr(tuple(snap.key_cols), snap.n_buckets).alias("b")
+        ).collect()[0]["b"]
+        df = self.read(buckets=[int(bucket)])
+        for k in snap.key_cols:
+            df = df.filter(F.col(k) == F.lit(key_values[k]))
+        return df
+
     def _resolve_lww(self, df: DataFrame, snap: Snapshot) -> DataFrame:
         """Merge-on-read resolution: one live row per key = the max
         (_lsn, _ts_ms) version across base + delta files. Requires the

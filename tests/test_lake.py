@@ -248,6 +248,20 @@ def test_commit_contention_cas_retry(spark, tmp_path):
     assert t.read().count() == 6
 
 
+def test_lookup_point_read(spark, tmp_path):
+    """lookup() hits exactly the key's bucket (one file group) and
+    returns the same row a full-scan filter would; partial keys are
+    rejected."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=8)
+    rows = [(f"r{i}", f"p{i}", f"c{i}", f"v{i}", "c") for i in range(20)]
+    merge_batch(t, _batch(spark, rows), epoch_id=0, last_lsn=1)
+    got = t.lookup(repo="r7", path="p7", commit="c7").collect()
+    assert len(got) == 1 and got[0]["content"] == "v7"
+    assert t.lookup(repo="nope", path="x", commit="y").count() == 0
+    with pytest.raises(ValueError, match="missing"):
+        t.lookup(repo="r7")
+
+
 def test_expire_snapshots_reclaims_unreferenced_files(spark, tmp_path):
     """Three COW epochs leave three generations of rewritten buckets on
     disk; expire_snapshots(keep_last=1) deletes every data file no

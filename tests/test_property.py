@@ -91,3 +91,64 @@ def test_merge_equals_python_model(spark, tmp_path_factory, events, n_batches, r
     }
     want = {f"r{k}": v for k, v in _python_model(events).items()}
     assert got == want
+
+
+def _uf_components(n_nodes, edges):
+    """Reference union-find: node -> min id of its component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for x in range(n_nodes):
+        r = find(x)
+        out[x] = min(out.get(r, r), r)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_nodes=st.integers(min_value=1, max_value=24),
+    edges=st.lists(
+        st.tuples(st.integers(0, 23), st.integers(0, 23)), max_size=40
+    ),
+)
+def test_connected_components_equals_union_find(spark, n_nodes, edges):
+    """Distributed min-label propagation == classic union-find on
+    arbitrary random graphs (self-loops and out-of-range edges
+    filtered the same way on both sides)."""
+    from plugin_debezium_spark.operators.neardup import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b and a < n_nodes and b < n_nodes]
+    expect = _uf_components(n_nodes, edges)
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"id": list(range(n_nodes))})
+    )
+    if edges:
+        pairs = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["id_a", "id_b"])
+        )
+    else:
+        pairs = spark.createDataFrame(
+            [], T.StructType([T.StructField("id_a", T.LongType()),
+                              T.StructField("id_b", T.LongType())])
+        )
+    got = {
+        r["id"]: r["cluster"]
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got == expect
