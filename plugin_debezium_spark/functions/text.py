@@ -44,6 +44,26 @@ def bpe_ish_token_count(col="text") -> Column:
     return runs + punct
 
 
+def gopher_word_stats(col: str = "text") -> list[Column]:
+    """Gopher-style quality signals as INTEGER components (ratios are
+    the caller's division — integers compare bit-exact across engines):
+    n_words, sum_word_chars (→ mean word length), n_alpha_words
+    (→ fraction of words containing a letter). Words are the non-empty
+    whitespace splits on both engines."""
+    w = (
+        f"filter(split(trim({col}), '\\\\s+'), x -> length(x) > 0)"
+    )
+    return [
+        F.expr(f"size({w})").cast("long").alias("n_words"),
+        F.expr(
+            f"aggregate({w}, 0L, (acc, x) -> acc + length(x))"
+        ).alias("sum_word_chars"),
+        F.expr(
+            f"size(filter({w}, x -> x rlike '[A-Za-z]'))"
+        ).cast("long").alias("n_alpha_words"),
+    ]
+
+
 def occurrences(col, word: str) -> Column:
     """Non-overlapping occurrences of ' word ' using the length-diff
     trick (identical semantics in every SQL engine)."""

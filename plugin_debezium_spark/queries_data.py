@@ -152,6 +152,33 @@ def text_quality_features(spark, sf_dir):
     )
 
 
+def text_gopher_quality(spark, sf_dir):
+    """Gopher-style quality signals, integer-exact: word count, total
+    word chars (→ mean word length), words containing a letter
+    (→ alpha fraction), and trigram repetition (max trigram count /
+    total trigrams → repeated-content share). All components integers
+    so both engines agree bit-for-bit; ratios are one division away."""
+    from plugin_debezium_spark.functions.text import gopher_word_stats
+    from plugin_debezium_spark.operators.neardup import word_shingles_expr
+
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", *gopher_word_stats("text"))
+    tri = d.select(
+        "doc_id",
+        F.explode(F.expr(word_shingles_expr("text", 3))).alias("tri"),
+    )
+    rep = (
+        tri.groupBy("doc_id", "tri")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("rep_max_tri"),
+            F.sum("c").alias("rep_tri_total"),
+        )
+    )
+    return base.join(rep, "doc_id")
+
+
 def text_lang_id(spark, sf_dir):
     d = _docs(spark, sf_dir)
     scores = lang_scores("text")
@@ -671,13 +698,55 @@ DATA_QUERIES = {
     "dedup_simhash": dedup_simhash,
     "text_token_counts": text_token_counts,
     "text_quality_features": text_quality_features,
+    "text_gopher_quality": text_gopher_quality,
     "text_lang_id": text_lang_id,
     "text_normalize_scrub": text_normalize_scrub,
-    "text_fingerprint": text_fingerprint,
-    "emb_topk_bruteforce": emb_topk_bruteforce,
-    "emb_topk_lsh": emb_topk_lsh,
-    "emb_topk_ivf": emb_topk_ivf,
-    "emb_neardup_pairs_exact": emb_neardup_pairs_exact,
-    "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
-    "multimodal_features": multimodal_features,
 }
+
+DATA_ORACLES["text_gopher_quality"] = """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> length(x) > 0) AS wf,
+         string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         len(wf)::BIGINT AS n_words,
+         coalesce(list_aggregate(list_transform(wf, x -> length(x)), 'sum'),
+                  0)::BIGINT AS sum_word_chars,
+         len(list_filter(wf, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+           AS n_alpha_words
+  FROM words
+),
+tris AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 2, 1)),
+           i -> array_to_string(w[i:i+2], ' '))) AS tri
+  FROM words
+),
+counts AS (
+  SELECT doc_id, tri, count(*) AS c FROM tris GROUP BY 1, 2
+),
+rep AS (
+  SELECT doc_id, max(c)::BIGINT AS rep_max_tri,
+         CAST(sum(c) AS BIGINT) AS rep_tri_total
+  FROM counts GROUP BY 1
+)
+SELECT base.*, rep.rep_max_tri, rep.rep_tri_total
+FROM base JOIN rep USING (doc_id)
+"""
+
+DATA_QUERIES.update(
+    {
+        "text_fingerprint": text_fingerprint,
+        "emb_topk_bruteforce": emb_topk_bruteforce,
+        "emb_topk_lsh": emb_topk_lsh,
+        "emb_topk_ivf": emb_topk_ivf,
+        "emb_neardup_pairs_exact": emb_neardup_pairs_exact,
+        "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
+        "multimodal_features": multimodal_features,
+    }
+)
