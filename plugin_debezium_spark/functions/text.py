@@ -64,6 +64,41 @@ def gopher_word_stats(col: str = "text") -> list[Column]:
     ]
 
 
+def hash_split(
+    col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "split:v1",
+) -> Column:
+    """Deterministic dataset split assignment: sha256(salt || id) mod
+    10000 lands in per-split integer ranges. Content-addressed, so the
+    assignment is stable across runs, engines, partitionings, and
+    corpus growth (a doc never migrates between splits when other docs
+    are added/removed) — the property random() sampling lacks. Change
+    ``salt`` to draw an independent split."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    c = F.col(col) if isinstance(col, str) else col
+    bucket = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit(salt), c.cast("string")), 256), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    expr = None
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * 10000))
+        cond = (bucket >= F.lit(lo)) & (bucket < F.lit(hi))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+        lo = hi
+    return expr.otherwise(F.lit("train"))
+
+
 def occurrences(col, word: str) -> Column:
     """Non-overlapping occurrences of ' word ' using the length-diff
     trick (identical semantics in every SQL engine)."""

@@ -179,6 +179,21 @@ def text_gopher_quality(spark, sf_dir):
     return base.join(rep, "doc_id")
 
 
+def text_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment per document via
+    sha-bucketed ranges — stable under corpus growth and engine choice
+    (content-addressed, no RNG); per-split counts as the check."""
+    from plugin_debezium_spark.functions.text import hash_split
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", hash_split("doc_id").alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
+        .orderBy("split")
+    )
+
+
 def text_lang_id(spark, sf_dir):
     d = _docs(spark, sf_dir)
     scores = lang_scores("text")
@@ -699,6 +714,7 @@ DATA_QUERIES = {
     "text_token_counts": text_token_counts,
     "text_quality_features": text_quality_features,
     "text_gopher_quality": text_gopher_quality,
+    "text_hash_split": text_hash_split,
     "text_lang_id": text_lang_id,
     "text_normalize_scrub": text_normalize_scrub,
 }
@@ -737,6 +753,24 @@ rep AS (
 )
 SELECT base.*, rep.rep_max_tri, rep.rep_tri_total
 FROM base JOIN rep USING (doc_id)
+"""
+
+DATA_ORACLES["text_hash_split"] = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(sha256('split:v1' || doc_id::VARCHAR), 1, 15))::BIGINT
+           % 10000 AS bkt
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN bkt < 9800 THEN 'train'
+              WHEN bkt < 9900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, count(*) AS n, min(doc_id) AS min_doc
+FROM s GROUP BY split ORDER BY split
 """
 
 DATA_QUERIES.update(
