@@ -265,18 +265,49 @@ def connected_components(
     nodes: optional (id) DataFrame of ALL nodes; ids absent from any
     edge become singleton clusters labeled by themselves — appended
     AFTER the loop, so iteration cost is proportional to the edge set,
-    not the corpus (singletons can never change label)."""
+    not the corpus (singletons can never change label).
+
+    Storage: retired generations are unpersisted eagerly (peak = two
+    generations); the FINAL generation stays pinned because the
+    returned DataFrame reads it — it is released by Spark's
+    ContextCleaner once the caller drops the result."""
+    sc = edges.sparkSession.sparkContext
+
+    def _ckpt(df):
+        """localCheckpoint + the JVM handles of the blocks it pinned,
+        so retired generations can be unpersisted EAGERLY — peak
+        storage stays at two generations instead of one per round
+        (the async ContextCleaner alone releases them only after GC).
+        The id diff assumes no concurrent caching in this session
+        during the snapshot window (true for driver-loop usage)."""
+        jmap = sc._jsc.getPersistentRDDs()
+        before = {int(k) for k in jmap.keySet().toArray()}
+        out = df.localCheckpoint()
+        jmap = sc._jsc.getPersistentRDDs()
+        handles = [
+            jmap.get(k)
+            for k in jmap.keySet().toArray()
+            if int(k) not in before
+        ]
+        return out, handles
+
+    def _retire(handles):
+        for h in handles:
+            try:
+                h.unpersist(False)
+            except Exception:
+                pass  # best-effort: the ContextCleaner is the backstop
+
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     # materialize the edge list ONCE: without this, every round's
     # message join re-executes the upstream pair-generation pipeline
-    und = e.union(
-        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).localCheckpoint()
-    labels = (
+    und, und_handles = _ckpt(
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    )
+    labels, gen_handles = _ckpt(
         und.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
     done = False
     for _ in range(max_iters):
@@ -291,23 +322,29 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("label").alias("_heard"))
         )
-        merged = labels.withColumnRenamed("label", "_old").join(
-            msgs, "id", "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("_old"), F.coalesce(F.col("_heard"), F.col("_old"))
-            ).alias("label"),
-            (
-                F.coalesce(F.col("_heard"), F.col("_old")) < F.col("_old")
-            ).cast("int").alias("_chg"),
-        ).localCheckpoint()
+        merged, new_handles = _ckpt(
+            labels.withColumnRenamed("label", "_old")
+            .join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("_old"), F.coalesce(F.col("_heard"), F.col("_old"))
+                ).alias("label"),
+                (
+                    F.coalesce(F.col("_heard"), F.col("_old")) < F.col("_old")
+                ).cast("int").alias("_chg"),
+            )
+        )
         changed = merged.agg(F.sum("_chg")).collect()[0][0] or 0
+        _retire(gen_handles)  # the new generation is materialized
+        gen_handles = new_handles
         labels = merged.drop("_chg")
         if changed == 0:
             done = True
             break
+    _retire(und_handles)
     if not done:
+        _retire(gen_handles)
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds"
         )

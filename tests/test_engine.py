@@ -162,6 +162,12 @@ def test_max_duration_stops_cleanly(spark, log_dir, tmp_path):
     """L4 stop condition: an exhausted time budget applies nothing,
     leaves no cached leftovers, and a later run completes the replay."""
     table_dir = str(tmp_path / "tbl")
+    # the session is shared across the test module: assert run() adds
+    # no cached leftovers, not that the whole session is cache-free
+    # (earlier tests' localCheckpoints are released asynchronously)
+    cached_before = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
     out = run(
         spark,
         EngineConfig(
@@ -172,7 +178,10 @@ def test_max_duration_stops_cleanly(spark, log_dir, tmp_path):
         ),
     )
     assert out["batches_applied"] == 0
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    cached_after = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    assert cached_after <= cached_before
     run(
         spark,
         EngineConfig(
