@@ -1,0 +1,154 @@
+"""spark-submit entry point: training-data curation pipeline.
+
+    spark-submit --py-files plugin_debezium_spark.zip jobs/curate.py \
+        --input /lake/documents --output /lake/curated \
+        --min-words 5 --max-rep-frac 0.3
+
+Composes the pipeline operators end-to-end over a documents table
+(doc_id, text, ...):
+
+  1. quality gate   — Gopher-style integer signals (word count, mean
+                      word length, alpha fraction, trigram repetition)
+  2. exact dedup    — keep the min-id representative per content hash
+  3. near-dup dedup — MinHash-LSH candidate pairs → connected
+                      components → keep the min-id rep per cluster
+  4. split          — deterministic sha-bucketed train/val/test
+  5. write          — parquet partitioned by split
+
+Every stage is a declarative DataFrame plan (one pass each, no
+driver-side loops except the bounded component iteration); stage
+counts are printed as one JSON line for lineage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def curate(
+    spark,
+    df,
+    min_words: int = 5,
+    max_rep_frac: float = 0.5,
+    min_alpha_frac: float = 0.5,
+    lsh_perms: int = 8,
+    lsh_bands: int = 2,
+    max_bucket_size: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The pipeline as a library function (the CLI is a thin shell).
+    Returns (curated DataFrame with a `split` column, stage-count dict).
+    Ratio thresholds compare via integer cross-multiplication — no
+    float boundary ambiguity."""
+    from pyspark.sql import functions as F
+
+    from plugin_debezium_spark.functions.text import (
+        gopher_word_stats,
+        hash_split,
+    )
+    from plugin_debezium_spark.operators.neardup import (
+        dedup_cluster_reps,
+        exact_dedup,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    stats: dict[str, int] = {"input": df.count()}
+
+    # 1. quality gate (integer cross-multiplied thresholds)
+    tri = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split(trim({text_col}), "
+                    f"'\\\\s+')) - 2, 1)), i -> array_join(slice(split(trim({text_col}), "
+                    f"'\\\\s+'), i, 3), ' '))"
+                )
+            ).alias("tri"),
+        )
+        .groupBy(id_col, "tri")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("rep_max"), F.sum("c").alias("rep_total"))
+    )
+    q = df.select(df["*"], *gopher_word_stats(text_col)).join(tri, id_col)
+    rep_num, rep_den = max_rep_frac.as_integer_ratio()
+    alpha_num, alpha_den = min_alpha_frac.as_integer_ratio()
+    kept = q.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("rep_max") * rep_den <= F.col("rep_total") * rep_num)
+        & (F.col("n_alpha_words") * alpha_den >= F.col("n_words") * alpha_num)
+    ).select(df["*"])
+    stats["after_quality"] = kept.count()
+
+    # 2. exact dedup: keep each content hash's min-id doc
+    reps = exact_dedup(kept, text_col=text_col, id_col=id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    kept = kept.join(reps, id_col, "left_semi")
+    stats["after_exact_dedup"] = kept.count()
+
+    # 3. near-dup clusters: keep each component's min-id doc
+    sigs = minhash_signatures(
+        kept, text_col=text_col, id_col=id_col, n_perms=lsh_perms
+    )
+    pairs = minhash_lsh_candidates(
+        sigs,
+        id_col=id_col,
+        n_perms=lsh_perms,
+        bands=lsh_bands,
+        max_bucket_size=max_bucket_size,
+    )
+    clusters = dedup_cluster_reps(kept, pairs, id_col=id_col)
+    kept = kept.join(
+        clusters.filter("is_rep").select(id_col), id_col, "left_semi"
+    )
+    stats["after_neardup"] = kept.count()
+
+    # 4. deterministic split
+    out = kept.withColumn("split", hash_split(id_col))
+    return out, stats
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-words", type=int, default=5)
+    p.add_argument("--max-rep-frac", type=float, default=0.5)
+    p.add_argument("--min-alpha-frac", type=float, default=0.5)
+    p.add_argument("--lsh-max-bucket", type=int, default=1000)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from plugin_debezium_spark.session import get_spark
+
+        spark = get_spark("curate")
+
+    df = spark.read.parquet(args.input)
+    out, stats = curate(
+        spark,
+        df,
+        min_words=args.min_words,
+        max_rep_frac=args.max_rep_frac,
+        min_alpha_frac=args.min_alpha_frac,
+        max_bucket_size=args.lsh_max_bucket,
+    )
+    out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    stats["written"] = spark.read.parquet(args.output).count()
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,110 @@
+"""End-to-end curation pipeline (jobs/curate.py): quality gate →
+exact dedup → near-dup clustering → deterministic split → write."""
+
+import json
+import os
+import sys
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from jobs.curate import curate  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_curate_invariants(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out, stats = curate(spark, docs, min_words=3, max_rep_frac=0.9)
+    rows = out.collect()
+    # monotone stage counts, nothing invented
+    assert (
+        stats["input"]
+        >= stats["after_quality"]
+        >= stats["after_exact_dedup"]
+        >= stats["after_neardup"]
+        == len(rows)
+    )
+    assert stats["after_neardup"] > 0
+    ids = {r["doc_id"] for r in rows}
+    src_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert ids <= src_ids
+    # exact dedup held: no two survivors share a text hash
+    hashes = [r for (r,) in out.select(F.sha2("text", 256)).collect()]
+    assert len(hashes) == len(set(hashes))
+    # split values valid and deterministic across recomputation
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    again = {
+        (r["doc_id"], r["split"])
+        for r in curate(spark, docs, min_words=3, max_rep_frac=0.9)[0]
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
+
+
+def test_curate_quality_gate_oracle(spark):
+    """The quality stage equals an independent pandas recomputation of
+    the same integer thresholds."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out, _ = curate(
+        spark, docs, min_words=4, max_rep_frac=0.4, min_alpha_frac=0.5
+    )
+    # recompute the gate in pandas (dedup stages only ever REMOVE rows,
+    # so the curated ids must be a subset of the pandas-gated ids, and
+    # every removed id must be explained by a duplicate cluster)
+    pdf = docs.select("doc_id", "text").toPandas()
+
+    def gate(text):
+        words = [w for w in text.strip().split() if w]
+        if len(words) < 4:
+            return False
+        alpha = sum(1 for w in words if any(c.isalpha() and ord(c) < 128 for c in w))
+        # n_alpha/n >= 0.5  <=>  2*n_alpha >= n
+        if 2 * alpha < len(words):
+            return False
+        raw = text.strip().split()
+        tris = [
+            " ".join(raw[i : i + 3])
+            for i in range(max(len(raw) - 2, 1))
+        ] or [""]
+        from collections import Counter
+
+        c = Counter(tris)
+        # rep_max/total <= 0.4  <=>  5*rep_max <= 2*total
+        return 5 * max(c.values()) <= 2 * sum(c.values())
+
+    gated = {r.doc_id for r in pdf.itertuples() if gate(r.text)}
+    curated = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert curated <= gated
+
+
+def test_curate_cli_writes_partitioned(spark, tmp_path):
+    import jobs.curate as jc
+
+    out_dir = str(tmp_path / "curated")
+    rc = jc.main(
+        [
+            "--input",
+            f"{SF}/documents.parquet",
+            "--output",
+            out_dir,
+            "--min-words",
+            "3",
+            "--max-rep-frac",
+            "0.9",
+        ]
+    )
+    assert rc == 0
+    back = spark.read.parquet(out_dir)
+    assert back.count() > 0
+    assert "split" in back.columns
+    # physically partitioned by split
+    assert any(
+        n.startswith("split=") for n in os.listdir(out_dir)
+    )
