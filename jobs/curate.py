@@ -57,21 +57,19 @@ def curate(
         exact_dedup,
         minhash_lsh_candidates,
         minhash_signatures,
+        word_shingles_expr,
     )
 
     stats: dict[str, int] = {"input": df.count()}
 
-    # 1. quality gate (integer cross-multiplied thresholds)
+    # 1. quality gate (integer cross-multiplied thresholds); the
+    # trigram derivation is THE shared one (word_shingles_expr) so the
+    # gate, the text_gopher_quality query, and its DuckDB oracle can
+    # never desync
     tri = (
         df.select(
             F.col(id_col),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(size(split(trim({text_col}), "
-                    f"'\\\\s+')) - 2, 1)), i -> array_join(slice(split(trim({text_col}), "
-                    f"'\\\\s+'), i, 3), ' '))"
-                )
-            ).alias("tri"),
+            F.explode(F.expr(word_shingles_expr(text_col, 3))).alias("tri"),
         )
         .groupBy(id_col, "tri")
         .agg(F.count("*").alias("c"))

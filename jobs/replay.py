@@ -49,7 +49,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sha-mode", default="native", choices=["native", "arrow"])
     p.add_argument("--n-salts", type=int, default=0)
     p.add_argument("--db-include", default=None)
+    p.add_argument("--db-exclude", default=None)
     p.add_argument("--table-include", default=None)
+    p.add_argument("--table-exclude", default=None)
     p.add_argument("--no-metrics", action="store_true")
     p.add_argument("--streaming", action="store_true",
                    help="drain via Structured Streaming availableNow")
@@ -87,7 +89,9 @@ def main(argv: list[str] | None = None) -> int:
         sha_mode=args.sha_mode,
         n_salts=args.n_salts,
         db_include=args.db_include,
+        db_exclude=args.db_exclude,
         table_include=args.table_include,
+        table_exclude=args.table_exclude,
         write_metrics=not args.no_metrics,
     )
     if args.streaming:

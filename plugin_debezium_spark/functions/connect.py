@@ -127,12 +127,17 @@ def connect_cast(col, schema: dict) -> Column:
             )
     elif stype == "struct":
         fields = schema.get("fields", [])
-        out = F.struct(
+        built = F.struct(
             *[
                 connect_cast(c[f["field"]], f).alias(f["field"])
                 for f in fields
             ]
         )
+        # F.struct over a NULL struct's fields builds Row(None, ...),
+        # not NULL — guard so an optional null struct stays null and a
+        # required inner field doesn't spuriously raise for it (CASE
+        # short-circuits per row; the raise branch never evaluates)
+        out = F.when(c.isNull(), F.lit(None)).otherwise(built)
     else:
         out = c
 

@@ -138,6 +138,15 @@ def interval_period(col) -> Column:
     )
     return F.when(
         c.isNull(), F.lit(None).cast("struct<years:long,months:long,days:long,micros:long>")
+    ).when(
+        # malformed period must FAIL the record like the reference's
+        # Period.parse (MapConverter.java:66-70) — regexp_extract on a
+        # non-match returns '' for every group, which would silently
+        # store an all-zero interval ("P-1Y" → 0 years = corrupt data)
+        ~c.rlike(_PERIOD_RE),
+        F.raise_error(
+            F.concat(F.lit("Conversion error: invalid ISO-8601 period: "), c)
+        ).cast("struct<years:long,months:long,days:long,micros:long>"),
     ).otherwise(
         F.struct(
             years.alias("years"),

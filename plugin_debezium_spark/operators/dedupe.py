@@ -78,16 +78,19 @@ def latest_by_key_twopass(
     winner order values back against the unshuffled input, so payloads
     never move. CONTRACT: ``order_col`` must be unique per event (the
     envelope log's lsn contract) — a duplicate could smuggle another
-    key's loser through the semi-join. The winner set is broadcast when
-    small; Spark falls back to a shuffle join above the broadcast
-    threshold automatically (AQE)."""
+    key's loser through the semi-join. No explicit broadcast hint: a
+    hint never falls back, so a large winner set would OOM the driver
+    (the engine's own path gates on winner_broadcast_limit after
+    COUNTING winners — prepare_latest); here AQE converts the semi
+    join to broadcast at runtime when the winner side turns out
+    small."""
     winners = (
         df.select(*key_cols, order_col)
         .groupBy(*key_cols)
         .agg(F.max(order_col).alias(order_col))
         .select(order_col)
     )
-    return df.join(F.broadcast(winners), order_col, "left_semi")
+    return df.join(winners, order_col, "left_semi")
 
 
 def dedupe_window(

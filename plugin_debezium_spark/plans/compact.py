@@ -87,27 +87,47 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
     accumulates one full rewrite of every touched bucket per epoch —
     at production scale, disk grows with replay LENGTH, not table size.
 
-    Keeps the newest ``keep_last`` snapshots intact (time travel within
-    the retention window still works; older read_at() targets are
-    gone). A data file is deleted only when NO retained snapshot
-    references it — files shared across snapshots (MOR bases, untouched
-    buckets) survive. Metadata deletes go through the MetaFS boundary;
-    data-file deletes use the data layer's storage, same as the writes.
-    Runs outside the commit lock: it never changes the current pointer,
-    and concurrent readers of retained snapshots only ever see files
-    this pass provably does not touch."""
+    Keeps the ``keep_last`` newest snapshots of the CURRENT pointer's
+    ancestor chain intact (time travel within the retention window
+    still works; older read_at() targets are gone). Retention is
+    anchored on the _current pointer, NEVER on the max manifest id: an
+    orphan manifest from a crashed commit — or a racing in-flight
+    commit, since this runs outside the commit lock and the manifest
+    is written before the pointer swaps — can carry a HIGHER id than
+    the live snapshot, and anchoring on ids would expire the live
+    snapshot itself (manifest gone + its uniquely-referenced data
+    files deleted = data loss). Manifests newer than the current
+    pointer are left untouched for the same reason, and their files
+    count as referenced.
+
+    A data file is deleted only when NO surviving manifest references
+    it — files shared across snapshots (MOR bases, untouched buckets)
+    survive. Metadata deletes go through the MetaFS boundary;
+    data-file deletes use the data layer's storage, same as the
+    writes."""
     import os
 
     keep_last = max(1, keep_last)
-    ids = table.snapshots()
-    retained, expired = ids[-keep_last:], ids[:-keep_last]
+    # ancestor chain from the live snapshot (manifests are immutable;
+    # parent ids always exist until expired)
+    cur = table.current()
+    chain = [cur.snapshot_id]
+    node = cur
+    while node.parent_id is not None:
+        try:
+            node = table.snapshot(node.parent_id)
+        except FileNotFoundError:
+            break  # ancestor already expired by an earlier pass
+        chain.append(node.snapshot_id)
+    expired = set(chain[keep_last:])
     if not expired:
         return {"expired": 0, "data_files_deleted": 0}
+    surviving = [sid for sid in table.snapshots() if sid not in expired]
     referenced = {
-        f["path"] for sid in retained for f in table.snapshot(sid).files
+        f["path"] for sid in surviving for f in table.snapshot(sid).files
     }
     deleted = 0
-    for sid in expired:
+    for sid in sorted(expired):
         for f in table.snapshot(sid).files:
             if f["path"] in referenced:
                 continue

@@ -85,6 +85,7 @@ def merge_batch(
     lww_guard: bool = False,
     mor: bool = False,
     truncate_lsn: int | None = None,
+    assume_unique_keys: bool = False,
 ) -> dict:
     """Apply one micro-batch of key columns + payload columns + ``op``.
 
@@ -95,12 +96,17 @@ def merge_batch(
     the touched-bucket set and key count in one tiny collect, then
     delegates to merge_prepared (the engine's epoch loop dedupes and
     computes those itself, in the same action as its schema inference).
+
+    assume_unique_keys: skip the LWW reduce when the caller has ALREADY
+    deduped to one row per key (the engine's json/arrow path does) —
+    otherwise the full-payload dedupe shuffle would run twice per
+    epoch. The default keeps raw batches safe.
     """
     prev = table.current()
     if prev.properties.get("last_epoch_id", -1) >= epoch_id:
         return {"skipped": True, "epoch_id": epoch_id}
     key_cols = list(prev.key_cols)
-    if "_lsn" in batch_latest.columns:
+    if not assume_unique_keys and "_lsn" in batch_latest.columns:
         from plugin_debezium_spark.operators.dedupe import latest_by_key
 
         keyed = batch_latest.withColumn("lsn", F.col("_lsn")).withColumn(

@@ -121,7 +121,9 @@ class ConnectorConfig:
         return {
             "snapshot_mode": self.snapshot_mode.name,
             "db_include": io["db_include"],
+            "db_exclude": io["db_exclude"],
             "table_include": io["table_include"],
+            "table_exclude": io["table_exclude"],
         }
 
 

@@ -83,7 +83,9 @@ class EngineConfig:
     sha_mode: str = "native"  # or "arrow"
     n_salts: int = 0  # >1 → explicit two-phase salted dedupe
     db_include: str | None = None
+    db_exclude: str | None = None
     table_include: str | None = None
+    table_exclude: str | None = None
     write_metrics: bool = True
     # envelope logs are highly compressible (JSON payloads): a 10 MB
     # parquet split expands to ~100 MB of parse work, so scan splits
@@ -218,7 +220,11 @@ def filter_events(cfg: EngineConfig, events: DataFrame) -> DataFrame:
         # (reference MysqlInterface.java:43-53)
         events = events.filter(F.col("op") != "r")
     events = include_exclude(
-        events, db_include=cfg.db_include, table_include=cfg.table_include
+        events,
+        db_include=cfg.db_include,
+        db_exclude=cfg.db_exclude,
+        table_include=cfg.table_include,
+        table_exclude=cfg.table_exclude,
     )
     if cfg.shard is not None:
         count, idx = cfg.shard
@@ -442,6 +448,11 @@ def _apply_epoch_variant(
         stats["t_infer_s"] = round(t1 - t0, 2)
         stats["t_merge_s"] = round(time.time() - t1, 2)
         stats["has_stream"] = int(agg["n_stream"]) > 0
+        # max_records counter input: stream-only (op != 'r') APPLIED
+        # rows — snapshot rows never count (reference :618-621). We
+        # count LWW winners, not raw consumed events: the winner set is
+        # what this engine applies.
+        stats["n_stream"] = int(agg["n_stream"])
         if cfg.write_metrics and not stats.get("skipped"):
             _write_metrics(cfg, latest, epoch_id)
         return stats
@@ -491,10 +502,14 @@ def _apply_epoch_json(
             lww_guard=cfg.lww_guard,
             mor=cfg.merge_mode == "mor",
             truncate_lsn=t_lsn,
+            # already one row per key (latest_by_key above) — don't pay
+            # the full-payload dedupe shuffle twice
+            assume_unique_keys=True,
         )
         stats["t_infer_s"] = round(t1 - t0, 2)
         stats["t_merge_s"] = round(time.time() - t1, 2)
         stats["has_stream"] = has_stream
+        stats["n_stream"] = int(row["n_stream"])
         if cfg.write_metrics and not stats.get("skipped"):
             _write_metrics(cfg, work, epoch_id)
         return stats
@@ -590,7 +605,13 @@ def _drain(
 
     def _account(ep, stats) -> None:
         applied.append(stats)
-        state["records"] += int(ep.get("n") or stats.get("batch_keys") or 0)
+        # reference semantics (AbstractDebeziumTask.java:618-621): the
+        # maxRecords counter counts CHANGE events only — snapshot
+        # (op='r') rows never count, not merely "counting deferred"
+        n_stream = stats.get("n_stream")
+        if n_stream is None:
+            n_stream = int(ep.get("n") or stats.get("batch_keys") or 0)
+        state["records"] += int(n_stream)
         if stats.get("has_stream"):
             state["in_snapshot"] = False
 
@@ -749,7 +770,14 @@ def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
     ):
         last_record_t = time.time()
         while time.time() - last_record_t <= cfg.max_wait_s:
-            if _stop_reason(cfg, t0, state) is not None:
+            reason = _stop_reason(cfg, t0, state)
+            if reason is not None:
+                state["stop"] = reason  # report WHY the wait ended
+                break
+            if cfg.max_batches is not None and len(applied) >= cfg.max_batches:
+                # no further batch can ever apply — polling for the
+                # rest of max_wait_s would be dead idle
+                state["stop"] = "max_batches"
                 break
             time.sleep(cfg.poll_interval_s)
             cur = int(table.current().properties.get("last_lsn", -1))

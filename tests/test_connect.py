@@ -169,6 +169,28 @@ def test_connect_cast_struct(spark):
     assert out == Row(a="test", b=32)
 
 
+def test_connect_cast_null_struct(spark):
+    """MapConverter null policy on STRUCTS: an optional null struct
+    converts to NULL (not a row of nulls), its required inner fields do
+    not spuriously raise, and a REQUIRED null struct raises."""
+    df = spark.createDataFrame(
+        [Row(v=Row(a="x", b=1)), Row(v=None)], "v struct<a:string,b:long>"
+    )
+    sch = {
+        "type": "struct",
+        "optional": True,
+        "fields": [
+            {"field": "a", "type": "string", "optional": False},
+            {"field": "b", "type": "int32"},
+        ],
+    }
+    got = [r["out"] for r in df.select(connect_cast("v", sch).alias("out")).collect()]
+    assert got == [Row(a="x", b=1), None]
+    req = dict(sch, optional=False)
+    with pytest.raises(Exception, match="required"):
+        df.select(connect_cast("v", req).alias("out")).collect()
+
+
 def test_connect_cast_string_key_map(spark):
     df = spark.createDataFrame(
         [Row(v={"a": 1, "b": 2})], "v map<string,long>"

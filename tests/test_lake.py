@@ -301,6 +301,39 @@ def test_expire_snapshots_reclaims_unreferenced_files(spark, tmp_path):
     assert expire_snapshots(t, keep_last=1)["expired"] == 0
 
 
+def test_expire_snapshots_survives_orphan_manifest(spark, tmp_path):
+    """A crashed commit leaves a manifest with a HIGHER id than the
+    live snapshot (pointer never swapped). Expiry must anchor on the
+    _current chain: the live snapshot and the orphan stay untouched,
+    reads stay bit-identical, and a re-run after real commits still
+    works (expired ancestors break the parent walk gracefully)."""
+    import json as _json
+
+    from plugin_debezium_spark.plans.compact import expire_snapshots
+    from plugin_debezium_spark.plans.lake import Snapshot
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    merge_batch(t, _batch(spark, [("r", "a", "c", "v0", "c")]), epoch_id=0, last_lsn=1)
+    merge_batch(t, _batch(spark, [("r", "b", "c", "v1", "c")]), epoch_id=1, last_lsn=2)
+    cur = t.current()
+    # forge the crash state: orphan manifest id 99, pointer untouched
+    orphan = Snapshot(**{**cur.__dict__, "snapshot_id": 99,
+                         "parent_id": cur.snapshot_id})
+    t.fs.write_atomic(
+        os.path.join(t.meta_dir, "v00000099.json"), orphan.to_json()
+    )
+    before = {tuple(r) for r in t.read().collect()}
+    stats = expire_snapshots(t, keep_last=1)
+    assert stats["expired"] == 2  # snapshots 0 and 1, never 2 or 99
+    assert t.current().snapshot_id == cur.snapshot_id
+    assert 99 in t.snapshots()  # orphan left for a future commit/GC
+    assert {tuple(r) for r in t.read().collect()} == before
+    # re-run after another commit: parent chain ends at an expired id
+    merge_batch(t, _batch(spark, [("r", "d", "c", "v2", "c")]), epoch_id=2, last_lsn=3)
+    assert expire_snapshots(t, keep_last=1)["expired"] == 1
+    assert t.read().count() == 3
+
+
 def test_time_travel_reads(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=2)
     merge_batch(
