@@ -29,11 +29,54 @@ from plugin_debezium_spark.models import KEY_COLS
 
 DEFAULT_LSN_FIELDS = ("lsn", "pos", "scn", "sequence")
 
+# Bits reserved for the byte offset within one binlog file when
+# composing the (file sequence, pos) total order. MySQL caps a binlog
+# file at max_binlog_size ≤ 1 GiB (one trailing event may spill past
+# it), so 31 bits cover any legal pos; file sequences then must stay
+# below 2^16 to clear import_to_log's 2^47 overflow guard — lower
+# BINLOG_POS_BITS for installations with more rotated files.
+BINLOG_POS_BITS = 31
+
 
 def _payload(col: str) -> F.Column:
     """Unwrap Connect's schema+payload envelope when present."""
     c = F.col(col)
     return F.coalesce(F.get_json_object(c, "$.payload"), c)
+
+
+def _binlog_composite(v: F.Column, pos_bits: int) -> F.Column:
+    """(binlog file sequence, pos) → one long: file_seq << pos_bits | pos.
+
+    MySQL's `pos` resets to ~4 at every binlog file rotation
+    (reference: Debezium keeps the opaque {file, pos} offset map
+    intact, AbstractDebeziumTask.java:382-384 — ordering by `pos`
+    alone interleaves rotated files and silently corrupts the LWW
+    total order). The file's numeric suffix ("mysql-bin.000007" → 7)
+    supplies the major component. NULL when the event carries no
+    `source.file` — the plain-`pos` coalesce arm then applies.
+
+    A pos ≥ 2^pos_bits would bleed into the next file's range; that
+    only happens on non-MySQL sources abusing `pos`, so fail loudly
+    (same contract as import_to_log's overflow guards)."""
+    file_seq = F.regexp_extract(
+        F.get_json_object(v, "$.source.file"), r"(\d+)\s*$", 1
+    )
+    pos = F.get_json_object(v, "$.source.pos").cast("long")
+    guarded_pos = F.when(pos < F.lit(1 << pos_bits), pos).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "binlog pos exceeds the per-file offset space "
+                    f"(2^{pos_bits}); lower BINLOG_POS_BITS? pos="
+                ),
+                pos.cast("string"),
+            )
+        )
+    )
+    return F.when(
+        file_seq.isNotNull() & (file_seq != F.lit("")) & pos.isNotNull(),
+        file_seq.cast("long") * F.lit(1 << pos_bits) + guarded_pos,
+    )
 
 
 def from_json_lines(
@@ -83,11 +126,17 @@ def envelopes_from_value_json(
     key fields prefer it over the images (the reference merges the
     record key into the row, ChangeConsumer.java:276-280)."""
     v = _payload(col)
+
+    def _lsn_arm(f: str) -> F.Column:
+        plain = F.get_json_object(v, f"$.source.{f}").cast("long")
+        if f == "pos":
+            # mysql: (binlog file sequence, pos) composite when the
+            # event names its binlog file; bare pos otherwise
+            return F.coalesce(_binlog_composite(v, BINLOG_POS_BITS), plain)
+        return plain
+
     lsn = F.coalesce(
-        *[
-            F.get_json_object(v, f"$.source.{f}").cast("long")
-            for f in lsn_fields
-        ],
+        *[_lsn_arm(f) for f in lsn_fields],
         F.get_json_object(v, "$.ts_ms").cast("long"),
     )
     image = F.coalesce(

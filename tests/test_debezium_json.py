@@ -158,6 +158,86 @@ def test_combined_wire_key_docs_tombstones_and_key_only_deletes(
     assert d["before_json"] is None and d["after_json"] is None
 
 
+def _mysql_value(op, file, pos, ts_ms, key, content=None):
+    """MySQL-shaped envelope: position = (binlog file, pos), no lsn."""
+    image = None
+    if content is not None:
+        image = {**key, "lang": "python", "content": content}
+    return json.dumps(
+        {
+            "op": op,
+            "ts_ms": ts_ms,
+            "before": image if op == "d" else None,
+            "after": None if op == "d" else image,
+            "source": {
+                "connector": "mysql",
+                "db": "kestra",
+                "table": "repofiles",
+                "snapshot": "false",
+                "file": file,
+                "pos": pos,
+            },
+        }
+    )
+
+
+def test_mysql_binlog_rotation_preserves_total_order(spark, tmp_path):
+    """pos resets at every binlog file rotation; the import must order
+    by (file sequence, pos) — Debezium keeps file+pos together in its
+    offset map (AbstractDebeziumTask.java:382-384,640-670). Ordering by
+    pos alone would pick v1 (pos 900) over v3 (pos 500 in a LATER file)
+    as the LWW winner."""
+    k = {"repo": "org/a", "path": "x.py", "commit": "c1"}
+    # identical ts_ms everywhere: the ts_ms tie-break must NOT be what
+    # rescues the ordering
+    ts = 1700000000000
+    rotated = [
+        _mysql_value("c", "mysql-bin.000001", 400, ts, k, "v1"),
+        _mysql_value("u", "mysql-bin.000001", 900, ts, k, "v2"),
+        _mysql_value("u", "mysql-bin.000002", 4, ts, k, "v3"),  # pos reset
+        _mysql_value("u", "mysql-bin.000002", 500, ts, k, "v4"),
+    ]
+    single = [  # same edits, one file, strictly increasing pos
+        _mysql_value("c", "mysql-bin.000001", 400, ts, k, "v1"),
+        _mysql_value("u", "mysql-bin.000001", 900, ts, k, "v2"),
+        _mysql_value("u", "mysql-bin.000001", 1000, ts, k, "v3"),
+        _mysql_value("u", "mysql-bin.000001", 1500, ts, k, "v4"),
+    ]
+    finals = {}
+    for name, lines in (("rotated", rotated), ("single", single)):
+        p = tmp_path / f"{name}.jsonl"
+        p.write_text("\n".join(lines) + "\n")
+        log = import_to_log(
+            spark, str(p), str(tmp_path / f"log_{name}"), lsn_buckets=2
+        )
+        cfg = EngineConfig(
+            log_dir=log,
+            table_dir=str(tmp_path / f"t_{name}"),
+            write_metrics=False,
+        )
+        run(spark, cfg)
+        finals[name] = {
+            (r["repo"], r["path"], r["commit"]): r["content"]
+            for r in LakeTable(spark, cfg.table_dir).read().collect()
+        }
+    assert finals["rotated"] == finals["single"]
+    assert finals["rotated"][("org/a", "x.py", "c1")] == "v4"
+
+
+def test_binlog_pos_overflow_raises(spark, tmp_path):
+    """A pos at or past 2^31 would bleed into the next file's range —
+    the composite must fail loudly, not silently misorder."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    k = {"repo": "org/a", "path": "x.py", "commit": "c1"}
+    p = tmp_path / "hugepos.jsonl"
+    p.write_text(
+        _mysql_value("c", "mysql-bin.000001", 1 << 31, 1700, k, "v1") + "\n"
+    )
+    with pytest.raises(Exception, match="binlog pos exceeds"):
+        import_to_log(spark, str(p), str(tmp_path / "log"))
+
+
 def test_import_guard_rejects_oversized_lsn(spark, tmp_path):
     """lsn*65536 would wrap 64-bit for positions >= 2^47 — the import
     must fail loudly instead of corrupting the total order."""
