@@ -86,6 +86,7 @@ def from_json_lines(
     lsn_fields: tuple[str, ...] = DEFAULT_LSN_FIELDS,
     lsn_buckets: int = 64,
     bucket_span: int = 1_000_000,
+    order_token_field: str | None = None,
 ) -> DataFrame:
     """Read a Debezium topic dump into the envelope-log frame.
 
@@ -110,9 +111,17 @@ def from_json_lines(
             key_doc.alias("_key_doc"), value_doc.alias("_value_doc")
         ).filter(F.col("_value_doc").isNotNull())  # drop tombstones
         return envelopes_from_value_json(
-            combined, "_value_doc", lsn_fields, bucket_span, key_col="_key_doc"
+            combined,
+            "_value_doc",
+            lsn_fields,
+            bucket_span,
+            key_col="_key_doc",
+            order_token_field=order_token_field,
         )
-    return envelopes_from_value_json(raw, "_raw", lsn_fields, bucket_span)
+    return envelopes_from_value_json(
+        raw, "_raw", lsn_fields, bucket_span,
+        order_token_field=order_token_field,
+    )
 
 
 def envelopes_from_value_json(
@@ -121,10 +130,23 @@ def envelopes_from_value_json(
     lsn_fields: tuple[str, ...] = DEFAULT_LSN_FIELDS,
     bucket_span: int = 1_000_000,
     key_col: str | None = None,
+    order_token_field: str | None = None,
 ) -> DataFrame:
     """``key_col``: optional column holding the record-key JSON doc —
     key fields prefer it over the images (the reference merges the
-    record key into the row, ChangeConsumer.java:276-280)."""
+    record key into the row, ChangeConsumer.java:276-280).
+
+    ``order_token_field``: source field holding an OPAQUE (string)
+    position token — Mongo resume tokens, any offset that can't map to
+    a long (the reference keeps offsets as an opaque byte map,
+    AbstractDebeziumTask.java:640-670). The token can't become the lsn
+    directly; instead it rides along as ``_order_token`` and
+    ``import_to_log`` uses it as the tie-break INSIDE each coarse
+    position (ts_ms fallback), so same-millisecond bursts order in
+    SOURCE order rather than arbitrarily. Documented ordering: bytewise
+    lexical — correct for Mongo resume tokens, which are
+    equal-length hex strings whose lexical order is their stream
+    order."""
     v = _payload(col)
 
     def _lsn_arm(f: str) -> F.Column:
@@ -177,7 +199,7 @@ def envelopes_from_value_json(
             .alias("data_collection_order"),
         ),
     )
-    return df.select(
+    cols = [
         lsn.alias("lsn"),
         F.get_json_object(v, "$.ts_ms").cast("long").alias("ts_ms"),
         F.get_json_object(v, "$.op").alias("op"),
@@ -188,7 +210,16 @@ def envelopes_from_value_json(
         tx.alias("transaction"),
         F.lit(None).cast("long").alias("epoch_hint"),
         (lsn / F.lit(bucket_span)).cast("long").alias("lsn_bucket"),
-    ).filter(F.col("lsn").isNotNull() & F.col("op").isNotNull())
+    ]
+    if order_token_field is not None:
+        cols.append(
+            F.get_json_object(v, f"$.source.{order_token_field}").alias(
+                "_order_token"
+            )
+        )
+    return df.select(*cols).filter(
+        F.col("lsn").isNotNull() & F.col("op").isNotNull()
+    )
 
 
 def import_to_log(
@@ -197,23 +228,43 @@ def import_to_log(
     log_dir: str,
     lsn_fields: tuple[str, ...] = DEFAULT_LSN_FIELDS,
     lsn_buckets: int = 64,
+    order_token_field: str | None = None,
+    wire: str = "value",
 ) -> str:
     """One-shot conversion: Debezium JSON dump → bucketed parquet log
     (then the engine replays it like any other log). Bucket span is
     sized from the observed LSN range so the log lands in
-    ~lsn_buckets partitions."""
-    env = from_json_lines(spark, json_path, lsn_fields=lsn_fields)
+    ~lsn_buckets partitions.
+
+    order_token_field: opaque string position (Mongo resume tokens) —
+    becomes the first tie-break within each coalesced numeric position,
+    so same-ms bursts land in source order (see
+    envelopes_from_value_json)."""
+    env = from_json_lines(
+        spark,
+        json_path,
+        wire=wire,
+        lsn_fields=lsn_fields,
+        order_token_field=order_token_field,
+    )
     # Enforce the log contract: unique lsn per event. Debezium
     # positions can collide (tx-shared postgres LSN, ts_ms fallback) —
     # disambiguate ties deterministically within each lsn group
-    # (partitioned window: scales, no global sort). 16 bits of tie
-    # space bounds groups at 65536 events per source position.
+    # (partitioned window: scales, no global sort). Tie order: ts_ms,
+    # then the opaque source token when the caller named one (source
+    # order), then a content sha (determinism). 16 bits of tie space
+    # bounds groups at 65536 events per source position.
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("lsn").orderBy(
-        F.col("ts_ms"), F.sha2(F.coalesce("after_json", "before_json"), 256)
-    )
-    env = env.withColumn("_rn", F.row_number().over(w) - F.lit(1)).cache()
+    tie: list = [F.col("ts_ms")]
+    if order_token_field is not None:
+        tie.append(F.col("_order_token"))
+    tie.append(F.sha2(F.coalesce("after_json", "before_json"), 256))
+    w = Window.partitionBy("lsn").orderBy(*tie)
+    env = env.withColumn("_rn", F.row_number().over(w) - F.lit(1))
+    if order_token_field is not None:
+        env = env.drop("_order_token")  # log schema stays fixed
+    env = env.cache()
     cached = env
     # Guard the shift before applying it: a tie group larger than the
     # 16-bit tie space would overflow into the next position's range,

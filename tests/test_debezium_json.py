@@ -238,6 +238,68 @@ def test_binlog_pos_overflow_raises(spark, tmp_path):
         import_to_log(spark, str(p), str(tmp_path / "log"))
 
 
+def test_opaque_resume_tokens_order_same_ms_bursts(spark, tmp_path):
+    """Mongo-shaped dump: no numeric position at all, only an opaque
+    resume token + ts_ms. All events share one millisecond — the
+    import must order the burst by the token (lexical = Mongo stream
+    order), not arbitrarily (reference offsets are an opaque byte map,
+    AbstractDebeziumTask.java:640-670)."""
+    k = {"repo": "org/m", "path": "doc.py", "commit": "c9"}
+    ts = 1700000000000
+    # equal-length hex tokens; lexical order == stream order
+    tokens_and_versions = [
+        ("82649A010000000B2B", "v1"),
+        ("82649A010000000C2B", "v2"),
+        ("82649A010000000D2B", "v3"),
+    ]
+    lines = []
+    # write in SHUFFLED file order: token must rescue the ordering
+    for tok, ver in [
+        tokens_and_versions[2],
+        tokens_and_versions[0],
+        tokens_and_versions[1],
+    ]:
+        lines.append(
+            json.dumps(
+                {
+                    "op": "u" if ver != "v1" else "c",
+                    "ts_ms": ts,
+                    "before": None,
+                    "after": {**k, "lang": "python", "content": ver},
+                    "source": {
+                        "connector": "mongodb",
+                        "db": "kestra",
+                        "collection": "repofiles",
+                        "snapshot": "false",
+                        "resume_token": tok,
+                    },
+                }
+            )
+        )
+    p = tmp_path / "mongo.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    log = import_to_log(
+        spark,
+        str(p),
+        str(tmp_path / "log"),
+        lsn_buckets=2,
+        order_token_field="resume_token",
+    )
+    env = spark.read.parquet(log)
+    got = {
+        json.loads(r["after_json"])["content"]: r["lsn"]
+        for r in env.collect()
+    }
+    assert len(set(got.values())) == 3  # unique lsns minted
+    assert got["v1"] < got["v2"] < got["v3"]  # source order round-trips
+    cfg = EngineConfig(
+        log_dir=log, table_dir=str(tmp_path / "t"), write_metrics=False
+    )
+    run(spark, cfg)
+    rows = LakeTable(spark, cfg.table_dir).read().collect()
+    assert len(rows) == 1 and rows[0]["content"] == "v3"
+
+
 def test_import_guard_rejects_oversized_lsn(spark, tmp_path):
     """lsn*65536 would wrap 64-bit for positions >= 2^47 — the import
     must fail loudly instead of corrupting the total order."""
