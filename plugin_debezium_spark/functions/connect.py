@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from plugin_debezium_spark.functions.temporal import DEBEZIUM_CONVERTERS
 
@@ -80,6 +81,120 @@ def apply_field_spec(col, optional: bool = True, default=None) -> Column:
     ).otherwise(c)
 
 
+def decimal_from_bytes(col, scale: int = 0, precision: int = 38) -> Column:
+    """Connect's precise Decimal wire form: base64 text of the
+    UNSCALED value's big-endian two's-complement bytes, scale carried
+    in the schema's ``parameters`` (org.apache.kafka.connect.data
+    .Decimal; the reference receives it pre-decoded as BigDecimal,
+    MapConverterTest.java:82). All JVM-side: base64 → hex →
+    sign-extended signed conv → exact decimal-point splice (no float,
+    no division — decimal division would rescale/round).
+
+    Bounded at 8 unscaled bytes (the int64 range conv can decode);
+    a wider unscaled value fails loudly rather than truncating."""
+    c = _c(col)
+    h = F.upper(F.hex(F.unbase64(c)))
+    h = F.when(
+        F.length(h) > 16,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "Conversion error: decimal unscaled value wider than "
+                    "8 bytes: 0x"
+                ),
+                h,
+            )
+        ),
+    ).otherwise(h)
+    neg = F.substring(h, 1, 1).isin(*"89ABCDEF")
+    padded = F.when(neg, F.lpad(h, 16, "F")).otherwise(F.lpad(h, 16, "0"))
+    unscaled = F.conv(padded, 16, -10)  # signed decimal digits string
+    if scale <= 0:
+        return unscaled.cast(T.DecimalType(precision, 0))
+    sign = F.when(unscaled.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+    digits = F.regexp_replace(unscaled, "^-", "")
+    # ensure at least scale+1 digits (lpad would TRUNCATE longer input,
+    # so only pad when actually short)
+    digits = F.when(
+        F.length(digits) <= F.lit(scale),
+        F.lpad(digits, scale + 1, "0"),
+    ).otherwise(digits)
+    intlen = F.length(digits) - F.lit(scale)
+    out = F.concat(
+        sign,
+        digits.substr(F.lit(1), intlen),
+        F.lit("."),
+        digits.substr(intlen + 1, F.lit(scale)),
+    )
+    return F.when(c.isNull(), F.lit(None)).otherwise(out).cast(
+        T.DecimalType(precision, scale)
+    )
+
+
+# Connect primitive type → the Spark type its JSON WIRE representation
+# parses as (schemas-enabled JsonConverter): bytes/Decimal travel as
+# base64 text, logical ints as plain ints — the typed cast happens
+# AFTER parsing, in connect_cast.
+_WIRE_PRIMITIVE = {
+    "int8": T.IntegerType(),
+    "int16": T.IntegerType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "float32": T.DoubleType(),
+    "float64": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "string": T.StringType(),
+    "bytes": T.StringType(),  # base64 text on the wire
+}
+
+
+def connect_wire_type(schema: dict) -> T.DataType:
+    """Spark DataType to ``from_json`` a value whose Connect schema is
+    ``schema`` — the raw wire shape, before logical-type conversion.
+
+    Non-string-key maps are rejected: the JsonConverter array-encodes
+    them as [key, value] 2-element arrays of mixed types, which
+    from_json cannot type — and no relational CDC source emits such a
+    column. (The post-parse form IS supported by connect_cast for
+    callers that decode by other means.)"""
+    stype = schema.get("type")
+    if stype in _WIRE_PRIMITIVE:
+        return _WIRE_PRIMITIVE[stype]
+    if stype == "array":
+        return T.ArrayType(
+            connect_wire_type(schema.get("items", {"type": "string"}))
+        )
+    if stype == "map":
+        keys = schema.get("keys", {"type": "string"})
+        if keys.get("type", "string") != "string":
+            raise ValueError(
+                "non-string-key MAP cannot be typed from the JSON wire "
+                "(array-encoded mixed-type pairs); decode it untyped"
+            )
+        return T.MapType(
+            T.StringType(),
+            connect_wire_type(schema.get("values", {"type": "string"})),
+        )
+    if stype == "struct":
+        return T.StructType(
+            [
+                T.StructField(f["field"], connect_wire_type(f), True)
+                for f in schema.get("fields", [])
+            ]
+        )
+    return T.StringType()
+
+
+def connect_decode_json(col, schema: dict) -> Column:
+    """JSON text + Connect schema → fully-typed Column: from_json with
+    the wire shape, then the connect_cast lattice (logical names,
+    defaults, required-null raise). This is the composition the wire
+    adapter uses on schema-wrapped dumps (what MapConverter.java:38-252
+    guarantees for Decimal/Date/Interval/bytes typing)."""
+    parsed = F.from_json(_c(col), connect_wire_type(schema))
+    return connect_cast(parsed, schema)
+
+
 def connect_cast(col, schema: dict) -> Column:
     """Compile a Connect schema dict into one Column over ``col``.
 
@@ -92,7 +207,16 @@ def connect_cast(col, schema: dict) -> Column:
     name = schema.get("name")
     stype = schema.get("type")
 
-    if name in DEBEZIUM_CONVERTERS:
+    if name == "org.apache.kafka.connect.data.Decimal" and schema.get(
+        "parameters"
+    ):
+        # precise-mode wire Decimal: base64 unscaled bytes + schema
+        # parameter scale (the shape a schemas-enabled dump carries);
+        # without parameters the registry's string-decimal cast applies
+        out = decimal_from_bytes(
+            c, int(schema["parameters"].get("scale", 0))
+        )
+    elif name in DEBEZIUM_CONVERTERS:
         out = DEBEZIUM_CONVERTERS[name](c)
     elif stype in _PRIMITIVE_CAST:
         out = c.cast(_PRIMITIVE_CAST[stype])

@@ -131,6 +131,7 @@ def envelopes_from_value_json(
     bucket_span: int = 1_000_000,
     key_col: str | None = None,
     order_token_field: str | None = None,
+    schema_col: str | None = None,
 ) -> DataFrame:
     """``key_col``: optional column holding the record-key JSON doc —
     key fields prefer it over the images (the reference merges the
@@ -217,8 +218,104 @@ def envelopes_from_value_json(
                 "_order_token"
             )
         )
+    if schema_col is not None:
+        # the Connect value schema the converter wrapped around the
+        # payload — carried verbatim so typed_envelopes can drive the
+        # connect_cast lattice with it
+        cols.append(F.col(schema_col).alias("schema_json"))
     return df.select(*cols).filter(
         F.col("lsn").isNotNull() & F.col("op").isNotNull()
+    )
+
+
+def typed_envelopes(
+    spark: SparkSession,
+    path: str,
+    wire: str = "value",
+    lsn_fields: tuple[str, ...] = DEFAULT_LSN_FIELDS,
+    images: tuple[str, ...] = ("before", "after"),
+) -> DataFrame:
+    """Schemas-enabled Connect dump → envelope frame + TYPED images.
+
+    ``from_json_lines`` deliberately keeps before/after as raw JSON
+    (the engine's evolving-schema contract); this reader is for dumps
+    written by Connect's JSON converter WITH schemas enabled, where
+    the ``$.schema`` block is the source of truth for Decimal/Date/
+    Interval/bytes typing (the shape MapConverter.java:38-252
+    consumes). Each distinct schema version in the dump is decoded
+    with its own connect_cast plan and the versions are unioned by
+    name (added columns null-fill older rows) — one driver-side
+    collect of the DISTINCT schema strings, O(#schema versions), never
+    O(rows).
+
+    Output = the envelope-log frame plus ``before``/``after`` typed
+    struct columns (and ``schema_json`` for lineage). Rows with no
+    schema block keep null typed images."""
+    import json as _json
+    from functools import reduce
+
+    from plugin_debezium_spark.functions.connect import connect_decode_json
+
+    raw = spark.read.text(path).withColumnRenamed("value", "_raw")
+    if wire == "combined":
+        sc = F.get_json_object(F.col("_raw"), "$.value.schema")
+        key_doc = F.coalesce(
+            F.get_json_object(F.col("_raw"), "$.key.payload"),
+            F.get_json_object(F.col("_raw"), "$.key"),
+        )
+        value_doc = F.get_json_object(F.col("_raw"), "$.value")
+        base = raw.select(
+            key_doc.alias("_key_doc"),
+            value_doc.alias("_value_doc"),
+            sc.alias("_schema_json"),
+        ).filter(F.col("_value_doc").isNotNull())
+        env = envelopes_from_value_json(
+            base,
+            "_value_doc",
+            lsn_fields,
+            key_col="_key_doc",
+            schema_col="_schema_json",
+        )
+    else:
+        base = raw.withColumn(
+            "_schema_json", F.get_json_object(F.col("_raw"), "$.schema")
+        )
+        env = envelopes_from_value_json(
+            base, "_raw", lsn_fields, schema_col="_schema_json"
+        )
+
+    versions = [
+        r[0]
+        for r in env.select("schema_json")
+        .filter(F.col("schema_json").isNotNull())
+        .distinct()
+        .collect()
+    ]
+    if not versions:
+        return env  # plain dump: nothing to type
+
+    def _typed(part: DataFrame, schema_doc: dict) -> DataFrame:
+        out = part
+        fields = {
+            f.get("field"): f for f in schema_doc.get("fields", [])
+        }
+        for img in images:
+            fs = fields.get(img)
+            if fs is None:
+                out = out.withColumn(img, F.lit(None))
+                continue
+            out = out.withColumn(
+                img, connect_decode_json(F.col(f"{img}_json"), fs)
+            )
+        return out
+
+    parts = [
+        _typed(env.filter(F.col("schema_json") == s), _json.loads(s))
+        for s in versions
+    ]
+    parts.append(env.filter(F.col("schema_json").isNull()))
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
     )
 
 
