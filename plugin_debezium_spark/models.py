@@ -25,6 +25,12 @@ OP_UPDATE = "u"
 OP_DELETE = "d"
 OP_READ = "r"  # snapshot read
 OP_TRUNCATE = "t"
+# Non-envelope message (schema-change/DDL notifications): the
+# reference's Message base type with an open payload
+# (Message.java:24-36 @JsonAnySetter; delivered only by RAW with
+# ignoreDdl=false, ChangeConsumer.java:205-210). Not a data op — the
+# body rides in the log's message_json column.
+OP_MESSAGE = "m"
 # Envelope operations the reference DELIVERS (ChangeConsumer.java:
 # 196-199 drops only non-Envelope schema-change messages; TRUNCATE
 # envelopes flow through shaping with deleted=true, :262-274).
@@ -102,6 +108,12 @@ def envelope_log_schema() -> T.StructType:
             T.StructField("after_json", T.StringType(), True),
             T.StructField("source", SOURCE_SCHEMA, True),
             T.StructField("transaction", TRANSACTION_SCHEMA, True),
+            # op='m' only: the non-envelope message body (open schema —
+            # a DDL statement, a heartbeat, whatever the connector
+            # publishes; Message.java:24-36). Null on data envelopes.
+            # Nullable + name-matched, so logs written before this
+            # column existed read as all-null under the fixed schema.
+            T.StructField("message_json", T.StringType(), True),
             T.StructField("epoch_hint", T.LongType(), True),
             T.StructField("lsn_bucket", T.LongType(), False),
         ]

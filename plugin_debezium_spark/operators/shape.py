@@ -16,10 +16,13 @@ from plugin_debezium_spark.operators.filters import Deleted, is_tombstone
 
 def raw(df: DataFrame) -> DataFrame:
     """P1 RAW — {key, value:<whole envelope>} untouched
-    (ChangeConsumer.java:215-223)."""
+    (ChangeConsumer.java:215-223). Non-envelope messages (op='m')
+    keep their open-schema body via message_json — the RAW +
+    ignoreDdl=false delivery path (ChangeConsumer.java:205-210,
+    Message.java:24-36); structured formats never see these rows."""
     envelope = ["op", "ts_ms", "lsn", "before", "after", "source"] + (
         ["transaction"] if "transaction" in df.columns else []
-    )
+    ) + (["message_json"] if "message_json" in df.columns else [])
     return df.select(F.col("key"), F.struct(*envelope).alias("value"))
 
 

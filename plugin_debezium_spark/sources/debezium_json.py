@@ -200,15 +200,24 @@ def envelopes_from_value_json(
             .alias("data_collection_order"),
         ),
     )
+    # Non-envelope messages (no `op`): schema-change/DDL notifications
+    # with an open-schema body (Message.java:24-36 @JsonAnySetter).
+    # They enter the log as op='m' carrying the WHOLE value doc in
+    # message_json — only RAW with ignoreDdl=false delivers them
+    # (ChangeConsumer.java:205-210); every other path drops 'm' because
+    # it is not in DATA_OPS.
+    wire_op = F.get_json_object(v, "$.op")
+    op = F.coalesce(wire_op, F.when(v.isNotNull(), F.lit("m")))
     cols = [
         lsn.alias("lsn"),
         F.get_json_object(v, "$.ts_ms").cast("long").alias("ts_ms"),
-        F.get_json_object(v, "$.op").alias("op"),
+        op.alias("op"),
         key.alias("key"),
         F.get_json_object(v, "$.before").alias("before_json"),
         F.get_json_object(v, "$.after").alias("after_json"),
         source.alias("source"),
         tx.alias("transaction"),
+        F.when(wire_op.isNull(), v).alias("message_json"),
         F.lit(None).cast("long").alias("epoch_hint"),
         (lsn / F.lit(bucket_span)).cast("long").alias("lsn_bucket"),
     ]
@@ -356,7 +365,9 @@ def import_to_log(
     tie: list = [F.col("ts_ms")]
     if order_token_field is not None:
         tie.append(F.col("_order_token"))
-    tie.append(F.sha2(F.coalesce("after_json", "before_json"), 256))
+    tie.append(
+        F.sha2(F.coalesce("after_json", "before_json", "message_json"), 256)
+    )
     w = Window.partitionBy("lsn").orderBy(*tie)
     env = env.withColumn("_rn", F.row_number().over(w) - F.lit(1))
     if order_token_field is not None:

@@ -130,3 +130,68 @@ def test_polling_trigger_executions(spark, log_dir, tmp_path):
     # → exactly one execution (reference: 0 records → no execution)
     assert len(execs) == 1
     assert execs[0]["batches_applied"] >= 1
+
+def test_raw_passes_message_bodies_structured_drop(spark, tmp_path):
+    """Non-envelope messages (op='m'): RAW + ignore_ddl=False delivers
+    the open-schema body via message_json (ChangeConsumer.java:205-210,
+    Message.java:24-36); RAW default and INLINE/WRAP drop the row."""
+    import json
+
+    from plugin_debezium_spark.sources.debezium_json import import_to_log
+
+    k = {"repo": "org/a", "path": "x.py", "commit": "c1"}
+    ddl_doc = {
+        "ts_ms": 1700000000001,
+        "source": {"db": "kestra", "table": "repofiles", "lsn": 5},
+        "ddl": "ALTER TABLE repofiles ADD COLUMN stars BIGINT",
+        "databaseName": "kestra",
+    }
+    lines = [
+        json.dumps(
+            {
+                "op": "c",
+                "ts_ms": 1700000000000,
+                "after": {**k, "lang": "py", "content": "v1"},
+                "source": {"db": "kestra", "table": "repofiles", "lsn": 1},
+            }
+        ),
+        json.dumps(ddl_doc),  # no `op` → non-envelope message
+    ]
+    p = tmp_path / "msg.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    log = import_to_log(spark, str(p), str(tmp_path / "log"), lsn_buckets=2)
+
+    raw_all = export(
+        spark,
+        ExportConfig(
+            log_dir=log,
+            out_dir=str(tmp_path / "raw"),
+            format=Format.RAW,
+            ignore_ddl=False,
+        ),
+    )
+    assert raw_all["size"] == 2
+    vals = spark.read.parquet(str(tmp_path / "raw")).select("value.*").collect()
+    msg = [r for r in vals if r["op"] == "m"]
+    assert len(msg) == 1
+    body = json.loads(msg[0]["message_json"])
+    assert body["ddl"].startswith("ALTER TABLE")
+
+    raw_default = export(
+        spark,
+        ExportConfig(
+            log_dir=log, out_dir=str(tmp_path / "rawd"), format=Format.RAW
+        ),
+    )
+    assert raw_default["size"] == 1  # ignore_ddl=True drops 'm'
+    for fmt, d in ((Format.INLINE, "inl"), (Format.WRAP, "wrp")):
+        out = export(
+            spark,
+            ExportConfig(
+                log_dir=log,
+                out_dir=str(tmp_path / d),
+                format=fmt,
+                ignore_ddl=False,  # structured formats drop 'm' regardless
+            ),
+        )
+        assert out["size"] == 1
