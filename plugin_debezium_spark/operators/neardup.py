@@ -384,22 +384,31 @@ def simhash(
 ) -> DataFrame:
     """SimHash over whitespace tokens: per bit b, sum ±1 votes of each
     token's sha-derived hash bit; simhash = Σ (vote_b > 0) << b.
-    Two explodes (tokens, bits) then one fully-combinable aggregate."""
+
+    ONE explode (tokens) and ONE fully-combinable aggregate with
+    n_bits conditional-sum columns — the per-bit vote is computed as a
+    codegen expression inside the aggregate, so no tokens×n_bits
+    intermediate ever exists (the naive bits-explode shuffles n_bits×
+    the corpus token count; at corpus scale that is 16× the data for
+    zero information)."""
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("h", sha_bigint(F.col("tok")))
-    bits = toks.select(
-        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("b")
-    ).withColumn(
-        "vote",
-        F.when(F.expr("(h >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias(f"_v{b}")
+            for b in range(n_bits)
+        ]
     )
-    votes = bits.groupBy(id_col, "b").agg(F.sum("vote").alias("v"))
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("cast(1 as bigint) << b")).otherwise(
-                F.lit(0)
-            )
-        ).alias("simhash")
-    )
+    sim = None
+    for b in range(n_bits):
+        term = F.when(
+            F.col(f"_v{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return votes.select(F.col(id_col), sim.alias("simhash"))

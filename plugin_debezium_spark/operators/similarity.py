@@ -198,6 +198,23 @@ def ivf_assign(
     ).join(F.broadcast(c)).withColumn(
         "_ccos", F.expr(dot_over_norms(vec_col, "_cvec", "_vn", "_cn"))
     )
+    if n_lists == 1:
+        # The corpus-assignment case (every IVF build runs it over the
+        # WHOLE corpus): an argmax aggregate instead of a row_number
+        # window — max_by gets map-side partial aggregation, so the
+        # corpus×n_centroids scored rows reduce to one row per vector
+        # BEFORE the shuffle; a window would shuffle and sort them all
+        # by vec_id. Tie order matches the window (max cosine, then
+        # min cid via the negated component).
+        keep = [col for col in df.columns if col != id_col]
+        winner = F.max_by(
+            F.struct(*[F.col(col) for col in keep], F.col("cid")),
+            F.struct(F.col("_ccos"), (-F.col("cid")).alias("_ncid")),
+        ).alias("_w")
+        agg = scored.groupBy(id_col).agg(winner)
+        return agg.select(
+            id_col, *[F.col(f"_w.{col}") for col in keep], F.col("_w.cid")
+        )
     w = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("cid"))
     return (
         scored.withColumn("_crank", F.row_number().over(w))
