@@ -39,8 +39,9 @@ def _env(lsn, ts_ms, op, key, content=None, db="d1", table="t1"):
         None,
         json.dumps({"content": content or f"v{lsn}"}),
         {"db": db, "table": table, "snapshot": "false", "connector": "mysql"},
-        None,
-        None,
+        None,  # transaction
+        None,  # message_json
+        None,  # epoch_hint
         lsn % 4,
     )
 
