@@ -11,6 +11,17 @@ SURVEY.md §3.2: "exactly Spark's Trigger.AvailableNow").
 foreachBatch is at-least-once; idempotent epoch commits (streaming
 batch id = epoch id) give the same exactly-once observable as the
 batch path.
+
+Merge strategy: the streaming applier defaults to MERGE-ON-READ delta
+appends. A per-micro-batch copy-on-write rewrite costs O(touched
+table) per batch — with a short trigger against a large table that is
+the classic scale-killer for a streaming applier (every tiny batch
+rewrites whole buckets). MOR epochs append O(batch) delta files with
+ZERO target I/O, tombstones make them safe under the file source's
+lexical (out-of-LSN-order) delivery, and a cadence compaction folds
+deltas back into base files every ``compact_every`` micro-batches.
+``merge_mode="cow"`` keeps the old read-optimized behavior (lww_guard
+rewrite per batch) for tables that are read far more than written.
 """
 
 from __future__ import annotations
@@ -34,6 +45,8 @@ def stream_log(
     available_now: bool = True,
     processing_time: str = "5 seconds",
     max_files_per_trigger: int = 8,
+    merge_mode: str = "mor",
+    compact_every: int | None = 64,
 ):
     """Start the streaming applier; returns the StreamingQuery.
 
@@ -45,14 +58,39 @@ def stream_log(
     table previously populated by the batch engine (epoch ids 0..N)
     must not silently skip its first N micro-batches. After checkpoint
     loss (a new checkpoint dir), batches re-apply under a fresh scope —
-    safe because the lww_guard merge is idempotent under reapplication.
+    safe because both merge modes are idempotent under reapplication
+    (MOR re-appends resolve to the same LWW winners; lww_guard COW is
+    a fixed point).
+
+    merge_mode:
+      "mor" (default) — each micro-batch APPENDS delta files: epoch
+        cost is O(batch) regardless of table size. The file source
+        delivers files in LEXICAL order, not LSN order; MOR is
+        inherently safe under that disorder because deletes persist as
+        tombstones and readers LWW-resolve on (_lsn, _ts_ms) at scan
+        time. Every ``compact_every`` micro-batches a compaction pass
+        folds accumulated deltas into base files (read cost bounded
+        without putting a table-sized rewrite in EVERY batch).
+      "cow" — out-of-order-safe lww_guard rewrite per micro-batch
+        (reads stay delta-free at the price of O(touched table) per
+        batch — only for small tables or very slow triggers).
+
+    TRUNCATE envelopes: an out-of-order truncate is ill-defined, so
+    under the default truncate_policy="apply" a 't' event fails the
+    stream loudly (merge_prepared raises); set
+    ``truncate_policy="drop"`` on the config to skip them.
     """
     import dataclasses
     import hashlib
 
-    # the file source delivers files in listing order, not LSN order —
-    # the merge must be out-of-order safe
-    cfg = dataclasses.replace(cfg, lww_guard=True)
+    if merge_mode == "mor":
+        cfg = dataclasses.replace(cfg, merge_mode="mor", lww_guard=False)
+    elif merge_mode == "cow":
+        # the file source delivers files in listing order, not LSN
+        # order — a COW merge must be the out-of-order-safe variant
+        cfg = dataclasses.replace(cfg, merge_mode="cow", lww_guard=True)
+    else:
+        raise ValueError(f"merge_mode must be 'mor' or 'cow': {merge_mode}")
     table = ensure_table(spark, cfg)
     ck = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
     epoch_key = f"stream_epoch:{ck}"
@@ -79,6 +117,19 @@ def stream_log(
             events=batch_df,
             epoch_key=epoch_key,
         )
+        if (
+            compact_every
+            and cfg.merge_mode == "mor"
+            and (int(batch_id) + 1) % compact_every == 0
+        ):
+            # cadence compaction: fold deltas → base. Runs inside
+            # foreachBatch, so it never races an epoch commit of THIS
+            # stream; a concurrent writer on the same table would
+            # surface as ConcurrentCommitError (fail loudly, retry
+            # next cadence, rather than lose files).
+            from plugin_debezium_spark.plans.compact import compact
+
+            compact(table, min_files_per_bucket=2)
 
     writer = (
         stream.writeStream.foreachBatch(_apply)
@@ -93,9 +144,20 @@ def stream_log(
 
 
 def run_available_now(
-    spark: SparkSession, cfg: EngineConfig, checkpoint_dir: str
+    spark: SparkSession,
+    cfg: EngineConfig,
+    checkpoint_dir: str,
+    merge_mode: str = "mor",
+    compact_every: int | None = 64,
 ) -> None:
     """Reference poll-Trigger cadence (§3.2): drain everything
     currently in the log, then stop."""
-    q = stream_log(spark, cfg, checkpoint_dir, available_now=True)
+    q = stream_log(
+        spark,
+        cfg,
+        checkpoint_dir,
+        available_now=True,
+        merge_mode=merge_mode,
+        compact_every=compact_every,
+    )
     q.awaitTermination()

@@ -181,3 +181,65 @@ def test_column_include_exclude_regex(spark):
     out = column_include_exclude(df, include="repo|path|secret_.*",
                                  exclude="secret_.*")
     assert out.columns == ["repo", "path"]
+
+
+def test_streaming_mor_appends_deltas_and_compacts(spark, tmp_path):
+    """The streaming applier's default path: each micro-batch APPENDS
+    delta files (epoch cost O(batch), zero target I/O) and the cadence
+    compaction folds them back — final state still golden."""
+    from plugin_debezium_spark.streaming.realtime import stream_log
+
+    log = write_log(spark, str(tmp_path / "log"), SPEC)
+    cfg = EngineConfig(
+        log_dir=log, table_dir=str(tmp_path / "tbl"), write_metrics=False
+    )
+    q = stream_log(
+        spark,
+        cfg,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        max_files_per_trigger=8,
+        merge_mode="mor",
+        compact_every=4,
+    )
+    q.awaitTermination()
+    t = LakeTable(spark, cfg.table_dir)
+    # delta epochs were appended along the way (proof the stream never
+    # took the COW rewrite), and the cadence compaction ran (some
+    # snapshot is marked compacted)
+    kinds_seen = set()
+    compacted = False
+    for sid in t.snapshots():
+        s = t.snapshot(sid)
+        kinds_seen |= {f.get("kind", "base") for f in s.files}
+        compacted = compacted or s.properties.get("compacted", False)
+    assert "delta" in kinds_seen
+    assert compacted
+    got = {
+        tuple(r)
+        for r in t.read()
+        .select("repo", "path", "commit", "content_sha256")
+        .collect()
+    }
+    assert got == golden_key_hashes(read_log_pandas(log))
+
+
+def test_streaming_cow_mode_matches_golden(spark, tmp_path):
+    """merge_mode='cow' keeps the read-optimized lww_guard rewrite."""
+    log = write_log(spark, str(tmp_path / "log"), SPEC)
+    cfg = EngineConfig(
+        log_dir=log, table_dir=str(tmp_path / "tbl"), write_metrics=False
+    )
+    run_available_now(spark, cfg, str(tmp_path / "ckpt"), merge_mode="cow")
+    t = LakeTable(spark, cfg.table_dir)
+    for sid in t.snapshots():
+        assert all(
+            f.get("kind", "base") != "delta" for f in t.snapshot(sid).files
+        )
+    got = {
+        tuple(r)
+        for r in t.read()
+        .select("repo", "path", "commit", "content_sha256")
+        .collect()
+    }
+    assert got == golden_key_hashes(read_log_pandas(log))
