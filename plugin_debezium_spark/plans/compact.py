@@ -103,8 +103,9 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
     A data file is deleted only when NO surviving manifest references
     it — files shared across snapshots (MOR bases, untouched buckets)
     survive. Metadata deletes go through the MetaFS boundary;
-    data-file deletes use the data layer's storage, same as the
-    writes."""
+    data-file deletes go through the table's DataFS boundary as ONE
+    batch per expiry pass (object stores want DeleteObjects-style
+    batches, not 10^5 serial driver-side unlinks)."""
     import os
 
     keep_last = max(1, keep_last)
@@ -126,17 +127,15 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
     referenced = {
         f["path"] for sid in surviving for f in table.snapshot(sid).files
     }
-    deleted = 0
+    doomed: list[str] = []
+    seen: set[str] = set()
     for sid in sorted(expired):
         for f in table.snapshot(sid).files:
-            if f["path"] in referenced:
+            if f["path"] in referenced or f["path"] in seen:
                 continue
-            try:
-                os.remove(os.path.join(table.path, f["path"]))
-                deleted += 1
-            except FileNotFoundError:
-                pass  # already reclaimed by an earlier pass
-        table.fs.delete(
-            os.path.join(table.meta_dir, f"v{sid:08d}.json")
-        )
+            seen.add(f["path"])
+            doomed.append(os.path.join(table.path, f["path"]))
+    deleted = table.data_fs.delete_batch(doomed)
+    for sid in sorted(expired):
+        table.fs.delete(os.path.join(table.meta_dir, f"v{sid:08d}.json"))
     return {"expired": len(expired), "data_files_deleted": deleted}

@@ -87,6 +87,37 @@ class LocalMetaFS:
             return False
 
 
+class LocalDataFS:
+    """Deletion boundary for the table's DATA files (parquet). Writes
+    and reads go through Spark (any Hadoop URI); the only data-layer
+    operation the table performs itself is reclaim — expire_snapshots
+    deleting files no retained snapshot references. Kept separate from
+    MetaFS because the scaling shape differs: metadata is a handful of
+    small driver-side documents, data expiry is 10^5+ objects per pass
+    on an object store, so the interface is BATCH delete and the local
+    implementation already fans out (an S3 implementation maps it to
+    DeleteObjects, 1000 keys per call)."""
+
+    def delete_batch(self, paths: list[str]) -> int:
+        """Delete; missing files are counted as already reclaimed
+        (expiry re-runs must be idempotent). Returns #removed."""
+        if not paths:
+            return 0
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _rm(p: str) -> int:
+            try:
+                os.remove(p)
+                return 1
+            except FileNotFoundError:
+                return 0
+
+        with ThreadPoolExecutor(
+            max_workers=min(32, len(paths))
+        ) as ex:
+            return sum(ex.map(_rm, paths))
+
+
 class InMemoryMetaFS:
     """Dict-backed implementation used by tests to PROVE the metadata
     layer has no hidden POSIX dependency: the full table lifecycle

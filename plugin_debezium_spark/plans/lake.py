@@ -86,10 +86,15 @@ class LakeTable:
     exclusively, so an object-store deployment swaps the implementation
     — data files are Spark-written and never touch it."""
 
-    def __init__(self, spark: SparkSession, path: str, fs=None):
+    def __init__(self, spark: SparkSession, path: str, fs=None, data_fs=None):
+        from plugin_debezium_spark.plans.fs import LocalDataFS
+
         self.spark = spark
         self.path = path
         self.fs = fs or LocalMetaFS()
+        # data-layer boundary: only RECLAIM goes through it (batch
+        # deletes for expire_snapshots); reads/writes are Spark's
+        self.data_fs = data_fs or LocalDataFS()
         self.meta_dir = os.path.join(path, "metadata")
         self.data_dir = os.path.join(path, "data")
 
@@ -103,8 +108,9 @@ class LakeTable:
         n_buckets: int = 32,
         key_cols: tuple[str, ...] = KEY_COLS,
         fs=None,
+        data_fs=None,
     ) -> "LakeTable":
-        t = LakeTable(spark, path, fs=fs)
+        t = LakeTable(spark, path, fs=fs, data_fs=data_fs)
         t.fs.mkdirs(t.meta_dir)
         os.makedirs(t.data_dir, exist_ok=True)
         snap = Snapshot(

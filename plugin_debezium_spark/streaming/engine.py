@@ -127,11 +127,16 @@ class EngineConfig:
     # local filesystem; inject an object-store/catalog implementation
     # to run the identical engine against non-POSIX metadata.
     meta_fs: object | None = None
+    # data-layer reclaim boundary (plans/fs.LocalDataFS default):
+    # batch data-file deletes for snapshot expiry off-POSIX.
+    data_fs: object | None = None
 
 
 def ensure_table(spark: SparkSession, cfg: EngineConfig) -> LakeTable:
     if LakeTable.exists(cfg.table_dir, fs=cfg.meta_fs):
-        return LakeTable(spark, cfg.table_dir, fs=cfg.meta_fs)
+        return LakeTable(
+            spark, cfg.table_dir, fs=cfg.meta_fs, data_fs=cfg.data_fs
+        )
     fields = [f for f in base_schema().fields]
     fields.append(T.StructField("content_sha256", T.StringType(), True))
     fields.append(T.StructField("_lsn", T.LongType(), True))
@@ -144,6 +149,7 @@ def ensure_table(spark: SparkSession, cfg: EngineConfig) -> LakeTable:
         cfg.n_buckets,
         KEY_COLS,
         fs=cfg.meta_fs,
+        data_fs=cfg.data_fs,
     )
 
 
@@ -298,23 +304,36 @@ def prepare_latest(
     # explicit salting implies the one-pass salted aggregate; the
     # two-pass variant needs no salt (pass 1 is a fully-combinable max
     # over 24-byte rows)
+    # maxRecords parity (AbstractDebeziumTask.java:617-621 counts
+    # records CONSUMED, not applied): the raw per-key count of
+    # non-snapshot events rides the dedupe's own shuffles — never a
+    # separate pass over the log.
+    raw_stream = F.when(F.col("op") != "r", 1).otherwise(0)
     if (
         cfg.n_salts <= 1
         and n_events is not None
         and n_events <= cfg.twopass_dedupe_limit
     ):
         # two-pass dedupe: payloads never shuffle, losers never parse.
-        # pass 1 reads only key+lsn columns (column pruning: no JSON);
-        # its winner count decides whether the broadcast is safe.
-        slim = events.select(*base_cols[:3], F.col("lsn"))
-        winner_lsns = (
+        # pass 1 reads only key+lsn+op columns (column pruning: no
+        # JSON); its winner count decides whether the broadcast is safe.
+        slim = events.select(*base_cols[:3], F.col("lsn"), F.col("op"))
+        pass1 = (
             slim.groupBy(*KEY_COLS)
-            .agg(F.max("lsn").alias("lsn"))
-            .select("lsn")
+            .agg(
+                F.max("lsn").alias("lsn"),
+                F.sum(raw_stream).alias("_nraw"),
+            )
             .cache()
         )
-        n_winners = winner_lsns.count()  # cheap: narrow columns only
+        # ONE action: winner count (broadcast gate) + raw consumed
+        # count together
+        g = pass1.agg(
+            F.count("*").alias("k"), F.sum("_nraw").alias("nraw")
+        ).collect()[0]
+        n_winners = int(g["k"])
         if n_winners <= cfg.winner_broadcast_limit:
+            winner_lsns = pass1.select("lsn")
             # CONTRACT: lsn is unique per event (models.envelope_log_schema;
             # sources/debezium_json.import_to_log enforces it on import) —
             # a duplicate lsn could smuggle another key's loser through
@@ -327,13 +346,18 @@ def prepare_latest(
                 .withColumn("_bucket", bucket_expr(KEY_COLS, nb))
             )
             # released with the epoch (apply's finally unpersists both)
-            latest._winner_lsns = winner_lsns
+            latest._winner_lsns = pass1
+            latest._n_raw_stream = int(g["nraw"] or 0)
             return latest
-        winner_lsns.unpersist()
+        pass1.unpersist()
     work = events.select(
         *base_cols, F.parse_json(F.col("after_json")).alias("_av")
     ).withColumn("_bucket", bucket_expr(KEY_COLS, nb))
-    return _persist(latest_by_key(work, KEY_COLS, cfg.n_salts))
+    return _persist(
+        latest_by_key(
+            work, KEY_COLS, cfg.n_salts, extra_sums={"_raw_stream": raw_stream}
+        )
+    )
 
 
 def _epoch_agg(latest: DataFrame):
@@ -348,7 +372,7 @@ def _epoch_agg(latest: DataFrame):
     group under the null key in the dedupe, so the max-'t' LSN of
     the epoch survives into `latest` — zero extra jobs when the
     log carries no truncates."""
-    return latest.agg(
+    aggs = [
         F.expr("schema_of_variant_agg(_av)").alias("s"),
         F.collect_set("_bucket").alias("bs"),
         F.count("*").alias("n"),
@@ -358,7 +382,12 @@ def _epoch_agg(latest: DataFrame):
         # snapshot-phase detection for the stop-condition rules
         # (maxRecords is ignored while snapshotting)
         F.count(F.when(F.col("op") != "r", 1)).alias("n_stream"),
-    ).collect()[0]
+    ]
+    if "_raw_stream" in latest.columns:
+        # consumed-event counter carried through the one-pass dedupe
+        # (the two-pass path delivers it via latest._n_raw_stream)
+        aggs.append(F.sum("_raw_stream").alias("n_raw_stream"))
+    return latest.agg(*aggs).collect()[0]
 
 
 def _apply_epoch_variant(
@@ -447,12 +476,20 @@ def _apply_epoch_variant(
         )
         stats["t_infer_s"] = round(t1 - t0, 2)
         stats["t_merge_s"] = round(time.time() - t1, 2)
-        stats["has_stream"] = int(agg["n_stream"]) > 0
-        # max_records counter input: stream-only (op != 'r') APPLIED
-        # rows — snapshot rows never count (reference :618-621). We
-        # count LWW winners, not raw consumed events: the winner set is
-        # what this engine applies.
-        stats["n_stream"] = int(agg["n_stream"])
+        # max_records counter input: stream-only (op != 'r') CONSUMED
+        # events, reference parity (AbstractDebeziumTask.java:617-621
+        # counts what the engine consumed, not the LWW winners it
+        # applied — a duplicate-heavy epoch must hit the cap at the
+        # same point the reference would). The raw count rides the
+        # dedupe's own aggregates: _n_raw_stream from the two-pass
+        # pass-1 action, n_raw_stream from the one-pass extra sum.
+        raw = getattr(latest, "_n_raw_stream", None)
+        if raw is None:
+            d = agg.asDict()
+            raw = int(d.get("n_raw_stream") or 0)
+        stats["has_stream"] = raw > 0 or int(agg["n_stream"]) > 0
+        stats["n_stream"] = int(raw)
+        stats["n_winners_stream"] = int(agg["n_stream"])
         if cfg.write_metrics and not stats.get("skipped"):
             _write_metrics(cfg, latest, epoch_id)
         return stats

@@ -119,3 +119,39 @@ def test_inmemory_fs_exclusive_create_races():
     assert not fs.rename_if_exists("/x/lock", "/x/claim2")
     fs.delete("/x/claim")
     assert fs.create_exclusive("/x/lock", "c")
+
+
+def test_expiry_routes_data_deletes_through_data_fs(spark, tmp_path):
+    """expire_snapshots must never touch POSIX directly: metadata
+    deletes go through MetaFS, data-file deletes through the DataFS
+    boundary as ONE batch (the object-store deployment shape)."""
+    from plugin_debezium_spark.plans.compact import expire_snapshots
+
+    class RecordingDataFS:
+        def __init__(self):
+            self.batches = []
+
+        def delete_batch(self, paths):
+            self.batches.append(list(paths))
+            return len(paths)
+
+    fs = InMemoryMetaFS()
+    dfs = RecordingDataFS()
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, SCHEMA, n_buckets=4, fs=fs, data_fs=dfs)
+    f1 = t.write_bucket_data(_df(spark, [("r1", "p1", "c1", 1)]), 1)
+    t.commit(f1, replaced_buckets={0, 1, 2, 3}, epoch_id=0)
+    f2 = t.write_bucket_data(_df(spark, [("r1", "p1", "c1", 2)]), 2)
+    t.commit(f2, replaced_buckets={0, 1, 2, 3}, epoch_id=1)
+
+    stats = expire_snapshots(t, keep_last=1)
+    assert stats["expired"] == 2  # v0 (empty) + v1
+    # exactly one batch, containing v1's files (f2 is still referenced)
+    assert len(dfs.batches) == 1
+    doomed = set(dfs.batches[0])
+    assert {str(tmp_path / "t" / f["path"]) for f in f1} == doomed
+    assert not any(str(tmp_path / "t" / f["path"]) in doomed for f in f2)
+    # the recording FS did not actually delete: data still readable
+    assert t.read().collect()[0]["v"] == 2
+    # metadata deletes went through MetaFS (expired manifests gone)
+    assert t.snapshots() == [2]
