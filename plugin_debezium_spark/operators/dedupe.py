@@ -36,19 +36,34 @@ def latest_by_key(
     df: DataFrame,
     key_cols: tuple[str, ...] = KEY_COLS,
     n_salts: int = 0,
+    extra_sums: dict[str, F.Column] | None = None,
 ) -> DataFrame:
     """One row per key: the event with max (lsn, ts_ms).
 
     n_salts=0 → single salted-free aggregate (map-side combine already
     defuses most skew). n_salts>0 → explicit two-phase salted reduce.
+
+    extra_sums: {out_col: expr} summed over the RAW input rows of each
+    key and carried on the winner row — how per-key consumed-event
+    counters ride the dedupe shuffle instead of costing their own pass
+    (sums re-aggregate exactly under the salted two-phase split).
     """
     others = [c for c in df.columns if c not in key_cols]
     payload = F.struct(*[F.col(c) for c in others]).alias("_ev")
-    keyed = df.select(*key_cols, payload, F.col("lsn"), F.col("ts_ms"))
+    sums = extra_sums or {}
+    keyed = df.select(
+        *key_cols,
+        payload,
+        F.col("lsn"),
+        F.col("ts_ms"),
+        *[e.alias(f"_x_{n}") for n, e in sums.items()],
+    )
+    tail = [F.col(f"_x_{n}").alias(n) for n in sums]
 
     if n_salts <= 1:
         reduced = keyed.groupBy(*key_cols).agg(
-            F.max_by("_ev", _order_struct()).alias("_ev")
+            F.max_by("_ev", _order_struct()).alias("_ev"),
+            *[F.sum(f"_x_{n}").alias(f"_x_{n}") for n in sums],
         )
     else:
         salted = keyed.withColumn(
@@ -58,11 +73,13 @@ def latest_by_key(
             F.max_by("_ev", _order_struct()).alias("_ev"),
             F.max("lsn").alias("lsn"),
             F.max("ts_ms").alias("ts_ms"),
+            *[F.sum(f"_x_{n}").alias(f"_x_{n}") for n in sums],
         )
         reduced = phase1.groupBy(*key_cols).agg(
-            F.max_by("_ev", _order_struct()).alias("_ev")
+            F.max_by("_ev", _order_struct()).alias("_ev"),
+            *[F.sum(f"_x_{n}").alias(f"_x_{n}") for n in sums],
         )
-    return reduced.select(*key_cols, "_ev.*")
+    return reduced.select(*key_cols, "_ev.*", *tail)
 
 
 def latest_by_key_twopass(

@@ -441,3 +441,46 @@ def test_snapshot_mode_always_resnapshots_without_regression(
     # the re-applied op='r' epoch ran, but LWW keeps streamed state
     assert any(e.get("resnapshot") for e in out["epochs"])
     assert _final_hashes(spark, table_dir) == golden
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},  # two-pass dedupe path (raw count from pass 1)
+        {"twopass_dedupe_limit": 0},  # one-pass extra-sum path
+        {"twopass_dedupe_limit": 0, "n_salts": 4},  # salted two-phase
+    ],
+)
+def test_max_records_counts_consumed_events_not_winners(
+    spark, tmp_path, kwargs
+):
+    """Reference parity (AbstractDebeziumTask.java:617-621): maxRecords
+    counts change events CONSUMED. A duplicate-heavy log (1000 events,
+    50 keys) must stop after ceil(500/200)=3 epochs of 200 raw events —
+    counting LWW winners (≤50/epoch) would never reach the cap."""
+    import uuid
+
+    d = tmp_path / uuid.uuid4().hex[:8]
+    log = write_log(
+        spark,
+        str(d / "log"),
+        LogSpec(n_events=1_000, n_keys=50, n_snapshot=0, epoch_size=200),
+    )
+    cfg = EngineConfig(
+        log_dir=log,
+        table_dir=str(d / "tbl"),
+        max_events_per_batch=200,
+        max_records=500,
+        write_metrics=False,
+        **kwargs,
+    )
+    out = run(spark, cfg)
+    assert out["stop_reason"] == "max_records"
+    assert out["batches_applied"] == 3
+    # epochs close on lsn_bucket boundaries → ~208 raw events each;
+    # the counter must be the consumed count (3×~208), NOT the winner
+    # count (≤50 distinct keys/epoch → ≤150 total, which would never
+    # trip the 500 cap)
+    assert 500 <= out["records"] <= 700
+    assert sum(e["n_stream"] for e in out["epochs"]) == out["records"]
+    assert all(e["n_stream"] > e["batch_keys"] for e in out["epochs"])
