@@ -574,6 +574,110 @@ def cdc_snapshot_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wire_final_state(parsed: DataFrame) -> DataFrame:
+    """Final state over an adapter-parsed envelope frame (key struct +
+    raw JSON images): flatten, two-pass LWW on the adapter-derived lsn,
+    keep non-deletes."""
+    from plugin_debezium_spark.operators.dedupe import latest_by_key_twopass
+
+    flat = parsed.select(
+        F.col("key.repo").alias("repo"),
+        F.col("key.path").alias("path"),
+        F.col("key.commit").alias("commit"),
+        "lsn",
+        "op",
+        F.get_json_object("after_json", "$.content").alias("content"),
+    )
+    win = latest_by_key_twopass(flat, ("repo", "path", "commit"))
+    return win.filter(F.col("op") != "d").select(
+        "repo",
+        "path",
+        "commit",
+        "content",
+        F.sha2("content", 256).alias("content_sha256"),
+        F.col("lsn").alias("last_lsn"),
+    )
+
+
+def cdc_binlog_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 mysql parity — envelopes arrive as REAL Debezium JSON value
+    docs whose ONLY position is (binlog file, pos), with pos resetting
+    at every file rotation and ts_ms held constant: the adapter must
+    derive the (file sequence << 31 | pos) composite
+    (sources/debezium_json._binlog_composite) or the LWW winners are
+    wrong. Exercises the full wire path: to_json → get_json_object
+    slicing → composite lsn → two-pass dedupe."""
+    from plugin_debezium_spark.sources.debezium_json import (
+        envelopes_from_value_json,
+    )
+
+    env = envelopes_from_events(spark, sf_dir)
+    file_seq = (F.col("lsn") / 997).cast("long") + 1
+    pos = F.pmod(F.col("lsn"), F.lit(997)) + 4
+    image = F.struct("repo", "path", "commit", "lang", "content")
+    doc = F.to_json(
+        F.struct(
+            F.col("op"),
+            F.lit(0).cast("long").alias("ts_ms"),
+            F.when(F.col("op") == "d", image).alias("before"),
+            F.when(F.col("op") != "d", image).alias("after"),
+            F.struct(
+                F.lit("kestra").alias("db"),
+                F.lit("repofiles").alias("table"),
+                F.lit("false").alias("snapshot"),
+                F.lit("mysql").alias("connector"),
+                F.concat(
+                    F.lit("mysql-bin."),
+                    F.lpad(file_seq.cast("string"), 6, "0"),
+                ).alias("file"),
+                pos.alias("pos"),
+            ).alias("source"),
+        )
+    )
+    parsed = envelopes_from_value_json(env.select(doc.alias("_raw")), "_raw")
+    return _wire_final_state(parsed)
+
+
+def cdc_resume_token_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo parity — no numeric position at all: an opaque
+    equal-length hex resume token plus a coarse ts_ms (50-event
+    same-ms bursts). The adapter orders bursts by token
+    (lexical = stream order) and assign_unique_lsns mints the unique
+    per-event LSN (ts*65536 + in-burst rank) the engine contract
+    requires."""
+    from plugin_debezium_spark.sources.debezium_json import (
+        assign_unique_lsns,
+        envelopes_from_value_json,
+    )
+
+    env = envelopes_from_events(spark, sf_dir)
+    token = F.lpad(F.hex(F.col("lsn")), 12, "0")
+    ts = (F.col("lsn") / 50).cast("long")
+    image = F.struct("repo", "path", "commit", "lang", "content")
+    doc = F.to_json(
+        F.struct(
+            F.col("op"),
+            ts.alias("ts_ms"),
+            F.when(F.col("op") == "d", image).alias("before"),
+            F.when(F.col("op") != "d", image).alias("after"),
+            F.struct(
+                F.lit("kestra").alias("db"),
+                F.lit("repofiles").alias("collection"),
+                F.lit("false").alias("snapshot"),
+                F.lit("mongodb").alias("connector"),
+                token.alias("resume_token"),
+            ).alias("source"),
+        )
+    )
+    parsed = envelopes_from_value_json(
+        env.select(doc.alias("_raw")),
+        "_raw",
+        order_token_field="resume_token",
+    )
+    uniq = assign_unique_lsns(parsed, order_token=True, cache=False)
+    return _wire_final_state(uniq)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -674,6 +778,53 @@ uni AS (
 )
 SELECT op, count(*) AS n, max(lsn) AS max_lsn FROM uni GROUP BY op ORDER BY op
 """,
+    # composite (binlog file sequence << 31 | pos): file rotates every
+    # 997 events, pos resets to 4 — plain arithmetic twin of the
+    # adapter's regexp parse + compose
+    "cdc_binlog_rotation": f"""
+WITH {ENV_SQL},
+bl AS (
+  SELECT repo, path, commit, content, op,
+         (CAST(lsn // 997 AS BIGINT) + 1) * 2147483648
+           + (lsn % 997 + 4) AS blsn
+  FROM env
+),
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path, commit ORDER BY blsn DESC) AS rn
+  FROM bl
+)
+SELECT repo, path, commit, content,
+       sha256(content) AS content_sha256,
+       blsn AS last_lsn
+FROM latest WHERE rn = 1 AND op <> 'd'
+""",
+    # minted unique lsn = burst_ts*65536 + rank-by-token-within-burst
+    # (assign_unique_lsns twin; tokens are equal-length hex so lexical
+    # order == numeric order)
+    "cdc_resume_token_order": f"""
+WITH {ENV_SQL},
+tok AS (
+  SELECT repo, path, commit, content, op,
+         CAST(lsn // 50 AS BIGINT) AS ts,
+         lpad(upper(to_hex(lsn)), 12, '0') AS token
+  FROM env
+),
+minted AS (
+  SELECT *, ts * 65536 +
+         (row_number() OVER (PARTITION BY ts ORDER BY token) - 1) AS mlsn
+  FROM tok
+),
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path, commit ORDER BY mlsn DESC) AS rn
+  FROM minted
+)
+SELECT repo, path, commit, content,
+       sha256(content) AS content_sha256,
+       mlsn AS last_lsn
+FROM latest WHERE rn = 1 AND op <> 'd'
+""",
 }
 
 from plugin_debezium_spark.queries_data import (  # noqa: E402
@@ -699,5 +850,7 @@ QUERIES = {
     "cdc_metadata_shape": cdc_metadata_shape,
     "cdc_include_exclude": cdc_include_exclude,
     "cdc_snapshot_union": cdc_snapshot_union,
+    "cdc_binlog_rotation": cdc_binlog_rotation,
+    "cdc_resume_token_order": cdc_resume_token_order,
 }
 QUERIES.update(DATA_QUERIES)

@@ -702,6 +702,101 @@ ranked AS (
 SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
 """
 
+def emb_ivf_assign(spark, sf_dir):
+    """IVF coarse-quantizer assignment over the WHOLE corpus
+    (n_lists=1): the max_by argmax-aggregate path — map-side combine
+    reduces corpus×n_centroids scored rows to one per vector before
+    any shuffle (operators/similarity.ivf_assign; no window on the
+    corpus side). Same deterministic centroids as emb_topk_ivf."""
+    from pyspark.sql import functions as F
+
+    from plugin_debezium_spark.operators.similarity import ivf_assign
+
+    e = _embs(spark, sf_dir)
+    cent = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") <= 8)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    return ivf_assign(e, cent, 1).select("vec_id", "cid")
+
+
+def connect_typed_decode(spark, sf_dir):
+    """P7 Connect wire decode end-to-end: per-doc wire JSON whose
+    Connect schema types a base64-bytes Decimal(scale=2), an epoch-day
+    Date, and an epoch-ms Timestamp — connect_decode_json (from_json
+    with the wire shape + the connect_cast lattice) must produce the
+    typed values plain SQL arithmetic predicts
+    (functions/connect.decimal_from_bytes; MapConverter.java:38-252)."""
+    from pyspark.sql import functions as F
+
+    from plugin_debezium_spark.functions.connect import connect_decode_json
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    v = F.pmod(F.col("doc_id"), F.lit(10000)).cast("int")
+    # 2-byte big-endian unscaled bytes (< 0x8000, so sign bit clear)
+    price_b64 = F.base64(F.unhex(F.lpad(F.hex(v), 4, "0")))
+    wire = F.to_json(
+        F.struct(
+            price_b64.alias("price"),
+            F.pmod(F.col("doc_id"), F.lit(20000))
+            .cast("int")
+            .alias("added_on"),
+            (F.col("doc_id") * 1000).alias("ts"),
+        )
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "field": "price",
+                "type": "bytes",
+                "name": "org.apache.kafka.connect.data.Decimal",
+                "parameters": {"scale": "2"},
+            },
+            {
+                "field": "added_on",
+                "type": "int32",
+                "name": "io.debezium.time.Date",
+            },
+            {
+                "field": "ts",
+                "type": "int64",
+                "name": "io.debezium.time.Timestamp",
+            },
+        ],
+    }
+    out = d.select(
+        "doc_id", connect_decode_json(wire, schema).alias("r")
+    )
+    return out.select(
+        "doc_id",
+        F.col("r.price").alias("price"),
+        F.col("r.added_on").alias("added_on"),
+        F.col("r.ts").alias("ts"),
+    )
+
+
+DATA_ORACLES["emb_ivf_assign"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 5 AND 8)
+SELECT vec_id, cid FROM (
+  SELECT c.vec_id, t.cid,
+         row_number() OVER (PARTITION BY c.vec_id
+           ORDER BY list_dot_product(c.v, t.cv)
+             / (sqrt(list_dot_product(c.v, c.v))
+                * sqrt(list_dot_product(t.cv, t.cv))) DESC,
+             t.cid ASC) AS r
+  FROM e c, cent t) WHERE r = 1
+"""
+
+DATA_ORACLES["connect_typed_decode"] = """
+SELECT doc_id,
+       CAST(printf('%d.%02d', (doc_id % 10000) // 100,
+                   (doc_id % 10000) % 100) AS DECIMAL(38,2)) AS price,
+       DATE '1970-01-01' + CAST(doc_id % 20000 AS INT) AS added_on,
+       make_timestamp(doc_id * 1000000) AS ts
+FROM documents
+"""
+
 DATA_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
@@ -782,5 +877,7 @@ DATA_QUERIES.update(
         "emb_neardup_pairs_exact": emb_neardup_pairs_exact,
         "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
         "multimodal_features": multimodal_features,
+        "emb_ivf_assign": emb_ivf_assign,
+        "connect_typed_decode": connect_typed_decode,
     }
 )

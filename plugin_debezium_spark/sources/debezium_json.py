@@ -328,6 +328,67 @@ def typed_envelopes(
     )
 
 
+def assign_unique_lsns(
+    env: DataFrame, order_token: bool = False, cache: bool = True
+) -> DataFrame:
+    """Enforce the log contract: UNIQUE lsn per event. Debezium
+    positions can collide (tx-shared postgres LSN, ts_ms fallback) —
+    disambiguate ties deterministically within each position group
+    (partitioned window: scales, no global sort). Tie order: ts_ms,
+    then the opaque source token when the frame carries one
+    (``_order_token`` — SOURCE order for same-position bursts), then a
+    content sha (determinism). Minted lsn = position*65536 + rank; 16
+    bits of tie space bounds groups at 65536 events per position.
+
+    Guards run BEFORE the shift: a tie group larger than the 16-bit
+    tie space would overflow into the next position's range, and
+    position*65536 needs max(position) < 2^47 (Spark arithmetic is
+    non-ANSI-checked by default — a wrap would silently corrupt the
+    total order the LWW dedupe relies on). Fail loudly instead.
+
+    cache=True keeps the windowed frame cached for a downstream write
+    (the import path); the caller unpersists via ``result._tie_cache``.
+    cache=False recomputes the (deterministic) window per action —
+    right for one-shot queries that must not leak cache entries."""
+    from pyspark.sql.window import Window
+
+    tie: list = [F.col("ts_ms")]
+    if order_token:
+        tie.append(F.col("_order_token"))
+    tie.append(
+        F.sha2(F.coalesce("after_json", "before_json", "message_json"), 256)
+    )
+    w = Window.partitionBy("lsn").orderBy(*tie)
+    out = env.withColumn("_rn", F.row_number().over(w) - F.lit(1))
+    if order_token:
+        out = out.drop("_order_token")  # log schema stays fixed
+    cached = out.cache() if cache else out
+    guard = cached.agg(
+        F.max("_rn").alias("max_rn"), F.max("lsn").alias("max_lsn")
+    ).collect()[0]
+    if guard["max_rn"] is not None and int(guard["max_rn"]) >= 65536:
+        if cache:
+            cached.unpersist()
+        raise ValueError(
+            f"assign_unique_lsns: {int(guard['max_rn']) + 1} events share "
+            "one source position — exceeds the 65536-per-position tie "
+            "space; supply a finer lsn_fields ordering for this connector"
+        )
+    if guard["max_lsn"] is not None and int(guard["max_lsn"]) >= 1 << 47:
+        if cache:
+            cached.unpersist()
+        raise ValueError(
+            f"assign_unique_lsns: max source position "
+            f"{int(guard['max_lsn'])} >= 2^47 would overflow the 64-bit "
+            "shifted LSN; rescale the source positions before import"
+        )
+    shifted = cached.withColumn(
+        "lsn", F.col("lsn") * F.lit(65536) + F.col("_rn")
+    ).drop("_rn")
+    shifted._tie_cache = cached if cache else None
+    return shifted
+
+
 def import_to_log(
     spark: SparkSession,
     json_path: str,
@@ -353,52 +414,8 @@ def import_to_log(
         lsn_fields=lsn_fields,
         order_token_field=order_token_field,
     )
-    # Enforce the log contract: unique lsn per event. Debezium
-    # positions can collide (tx-shared postgres LSN, ts_ms fallback) —
-    # disambiguate ties deterministically within each lsn group
-    # (partitioned window: scales, no global sort). Tie order: ts_ms,
-    # then the opaque source token when the caller named one (source
-    # order), then a content sha (determinism). 16 bits of tie space
-    # bounds groups at 65536 events per source position.
-    from pyspark.sql.window import Window
-
-    tie: list = [F.col("ts_ms")]
-    if order_token_field is not None:
-        tie.append(F.col("_order_token"))
-    tie.append(
-        F.sha2(F.coalesce("after_json", "before_json", "message_json"), 256)
-    )
-    w = Window.partitionBy("lsn").orderBy(*tie)
-    env = env.withColumn("_rn", F.row_number().over(w) - F.lit(1))
-    if order_token_field is not None:
-        env = env.drop("_order_token")  # log schema stays fixed
-    env = env.cache()
-    cached = env
-    # Guard the shift before applying it: a tie group larger than the
-    # 16-bit tie space would overflow into the next position's range,
-    # and lsn*65536 needs max(lsn) < 2^47 (Spark arithmetic is
-    # non-ANSI-checked by default — a wrap would silently corrupt the
-    # total order the LWW dedupe relies on). Fail the import loudly.
-    guard = env.agg(
-        F.max("_rn").alias("max_rn"), F.max("lsn").alias("max_lsn")
-    ).collect()[0]
-    if guard["max_rn"] is not None and int(guard["max_rn"]) >= 65536:
-        cached.unpersist()
-        raise ValueError(
-            f"import_to_log: {int(guard['max_rn']) + 1} events share one "
-            "source position — exceeds the 65536-per-position tie space; "
-            "supply a finer lsn_fields ordering for this connector"
-        )
-    if guard["max_lsn"] is not None and int(guard["max_lsn"]) >= 1 << 47:
-        cached.unpersist()
-        raise ValueError(
-            f"import_to_log: max source position {int(guard['max_lsn'])} "
-            ">= 2^47 would overflow the 64-bit shifted LSN; rescale the "
-            "source positions before import"
-        )
-    env = env.withColumn(
-        "lsn", F.col("lsn") * F.lit(65536) + F.col("_rn")
-    ).drop("_rn")
+    env = assign_unique_lsns(env, order_token=order_token_field is not None)
+    cached = env._tie_cache
     lo, hi = env.agg(F.min("lsn"), F.max("lsn")).collect()[0]
     span = max(1, (int(hi) - int(lo) + 1) // lsn_buckets)
     env = env.withColumn(
