@@ -281,6 +281,28 @@ ratio — at production scale COW epoch cost is O(touched table), MOR is
 O(batch); use `EngineConfig(merge_mode="mor")` + periodic compaction
 for ingest-heavy workloads.
 
+## Streaming applier: per-micro-batch cost vs table size (round 3)
+
+The streaming path (`streaming/realtime.stream_log`) defaults to MOR
+delta appends with cadence compaction instead of the round-2
+per-micro-batch lww-COW rewrite. Measured: pre-populate the table
+with K events, then stream the SAME 10-micro-batch tail (10×10k
+events, maxFilesPerTrigger=1, compaction off) on local[16]:
+
+| table size K | MOR s/batch | lww-COW s/batch |
+|---|---|---|
+| 250k rows | 1.45 (warm-up) | 1.99 |
+| 1M rows | 1.06 | 1.80 |
+| 4M rows | 1.08 | 2.74 |
+
+**MOR per-batch cost is flat in table size** (O(batch): append-only
+delta files, zero target I/O); the COW rewrite grows with the table
+(O(touched table) per batch — with random keys a tiny batch touches
+every bucket) and would dominate at any production table size. The
+lexical (out-of-LSN-order) file-source delivery stays safe on MOR
+because deletes persist as tombstones and readers LWW-resolve on
+(_lsn, _ts_ms); `merge_mode="cow"` remains the read-optimized option.
+
 ## Soak (robustness at 4x bench scale, re-measured round 2)
 
 64,000,000 events (11 GB log, 6.4M keys, 4 epochs of 16M) replayed on
@@ -289,11 +311,12 @@ local[32]: **146.8 s wall = 436k events/s** sustained (round 1: 212 s
 final table 5,762,478 rows (bit-identical to round 1), t_infer 0.0 s
 on all four epochs. Exercises the adaptive dedupe gate (6.4M winners >
 broadcast limit → one-pass path) and the >2M-key shuffle anti-join
-fallback in the merge. This soak has now caught TWO memory bugs: a
-winner-broadcast OOM in round 1 (EngineConfig.winner_broadcast_limit)
-and, in round 2, a columnar-cache-build OOM at 32 threads on a 16 GB
-heap (ColumnBuilder buffers live OUTSIDE Spark's managed memory) —
-fixed by scaling the default heap with core count and capping
+fallback in the merge. This soak has now caught TWO
+memory bugs: a winner-broadcast OOM in round 1
+(EngineConfig.winner_broadcast_limit) and, in round 2, a
+columnar-cache-build OOM at 32 threads on a 16 GB heap (ColumnBuilder
+buffers live OUTSIDE Spark's managed memory) — fixed by scaling the
+default heap with core count and capping
 inMemoryColumnarStorage.batchSize for ~1.5 KB rows (session.py).
 """
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)

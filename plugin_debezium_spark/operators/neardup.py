@@ -190,6 +190,14 @@ def ngram_jaccard_pairs(
     a LOWER BOUND for those pairs; per-doc counts n_a/n_b stay exact.
     Audit a corpus with lsh_bucket_stats(shingles, ["shingle"]).
     None (default) = exact.
+
+    Cost note: at toy scale the cap costs MORE than it saves (the
+    doc-frequency aggregate + semi-join outweigh the few m² rows it
+    prunes — measured ~9.2 s capped vs 6.5 s uncapped on a 500-doc
+    sf0.1 corpus). The inversion flips as the corpus grows: a shingle
+    shared by m docs joins m²/2 rows, so one web-scale stop-shingle
+    ("the end", a license header) dwarfs the linear pre-pass. Use the
+    cap at corpus scale, skip it for small exact runs.
     """
     shingles = df.select(
         F.col(id_col),

@@ -576,19 +576,23 @@ def cdc_snapshot_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _wire_final_state(parsed: DataFrame) -> DataFrame:
     """Final state over an adapter-parsed envelope frame (key struct +
-    raw JSON images): flatten, two-pass LWW on the adapter-derived lsn,
-    keep non-deletes."""
-    from plugin_debezium_spark.operators.dedupe import latest_by_key_twopass
+    raw JSON images): flatten, LWW, keep non-deletes. One-pass max_by
+    dedupe on purpose: the upstream wire parse is the expensive part
+    here, and the two-pass formulation would evaluate it twice (its
+    payoff — payloads never shuffle — needs 1.5 KB payloads, not these
+    six narrow columns)."""
+    from plugin_debezium_spark.operators.dedupe import latest_by_key
 
     flat = parsed.select(
         F.col("key.repo").alias("repo"),
         F.col("key.path").alias("path"),
         F.col("key.commit").alias("commit"),
         "lsn",
+        F.col("lsn").alias("ts_ms"),  # order tie column (lsn unique)
         "op",
         F.get_json_object("after_json", "$.content").alias("content"),
     )
-    win = latest_by_key_twopass(flat, ("repo", "path", "commit"))
+    win = latest_by_key(flat, ("repo", "path", "commit")).drop("ts_ms")
     return win.filter(F.col("op") != "d").select(
         "repo",
         "path",
@@ -634,7 +638,13 @@ def cdc_binlog_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("source"),
         )
     )
-    parsed = envelopes_from_value_json(env.select(doc.alias("_raw")), "_raw")
+    # the events scan is one small file → 1 task; spread the per-row
+    # parse work across the cluster before it runs (at production
+    # scale the dump is already many files and this is a no-op choice)
+    wire = env.select(doc.alias("_raw")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    parsed = envelopes_from_value_json(wire, "_raw")
     return _wire_final_state(parsed)
 
 
@@ -669,10 +679,11 @@ def cdc_resume_token_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("source"),
         )
     )
+    wire = env.select(doc.alias("_raw")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     parsed = envelopes_from_value_json(
-        env.select(doc.alias("_raw")),
-        "_raw",
-        order_token_field="resume_token",
+        wire, "_raw", order_token_field="resume_token"
     )
     uniq = assign_unique_lsns(parsed, order_token=True, cache=False)
     return _wire_final_state(uniq)

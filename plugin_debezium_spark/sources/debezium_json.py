@@ -44,6 +44,22 @@ def _payload(col: str) -> F.Column:
     return F.coalesce(F.get_json_object(c, "$.payload"), c)
 
 
+def _vstr(v: F.Column, path: str) -> F.Column:
+    """variant path → string (null on missing/malformed)."""
+    return F.try_variant_get(v, path, "string")
+
+
+def _vjson(sub: F.Column) -> F.Column:
+    """variant → RAW JSON text, preserving get_json_object's null
+    convention: SQL NULL and explicit JSON null both yield SQL NULL
+    (to_json of a variant null would emit the 4-char string 'null' —
+    a delete's absent after-image must stay NULL for the op='d'
+    contract)."""
+    return F.when(
+        F.coalesce(F.is_variant_null(sub), F.lit(False)), F.lit(None)
+    ).otherwise(F.to_json(sub))
+
+
 def _binlog_composite(v: F.Column, pos_bits: int) -> F.Column:
     """(binlog file sequence, pos) → one long: file_seq << pos_bits | pos.
 
@@ -58,10 +74,8 @@ def _binlog_composite(v: F.Column, pos_bits: int) -> F.Column:
     A pos ≥ 2^pos_bits would bleed into the next file's range; that
     only happens on non-MySQL sources abusing `pos`, so fail loudly
     (same contract as import_to_log's overflow guards)."""
-    file_seq = F.regexp_extract(
-        F.get_json_object(v, "$.source.file"), r"(\d+)\s*$", 1
-    )
-    pos = F.get_json_object(v, "$.source.pos").cast("long")
+    file_seq = F.regexp_extract(v["source"]["file"], r"(\d+)\s*$", 1)
+    pos = v["source"]["pos"]
     guarded_pos = F.when(pos < F.lit(1 << pos_bits), pos).otherwise(
         F.raise_error(
             F.concat(
@@ -148,84 +162,137 @@ def envelopes_from_value_json(
     lexical — correct for Mongo resume tokens, which are
     equal-length hex strings whose lexical order is their stream
     order."""
-    v = _payload(col)
+    # Physical strategy: ONE codegen'd from_json parses the envelope
+    # SHELL per row — op/ts_ms/source/transaction land typed,
+    # before/after land as VARIANT so the payload schema stays open
+    # (the engine's evolving-schema contract). The parsed struct is
+    # materialized as its own projection (`_p`, then the unwrapped
+    # `_e`): ~20 downstream expressions reference it, and inlining the
+    # parse into each (what ~14 independent get_json_object calls do,
+    # or ~25 interpreted variant_get slices) re-parses/re-walks the
+    # doc once PER FIELD — measured ~3.5x slower on the sf0.1
+    # cdc_binlog_rotation wire query. CollapseProject keeps the split
+    # because the producer is expensive and multiply referenced
+    # (SPARK-36718).
+    from pyspark.sql import types as T
+
+    from plugin_debezium_spark.models import TRANSACTION_SCHEMA
+
+    src_types: dict[str, T.DataType] = {
+        f: T.StringType()
+        for f in ("db", "table", "collection", "snapshot", "connector", "file")
+    }
+    for f in lsn_fields:
+        src_types.setdefault(f, T.LongType())
+    src_types.setdefault("pos", T.LongType())  # binlog composite input
+    if order_token_field is not None:
+        src_types.setdefault(order_token_field, T.StringType())
+    env_struct = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("before", T.VariantType()),
+            T.StructField("after", T.VariantType()),
+            T.StructField(
+                "source",
+                T.StructType(
+                    [T.StructField(n, t) for n, t in src_types.items()]
+                ),
+            ),
+            T.StructField("transaction", TRANSACTION_SCHEMA),
+        ]
+    )
+    # Connect's schema+payload wrapper and the bare envelope in ONE
+    # parse: the shell carries both `payload` and the top-level fields
+    shell = T.StructType(
+        [T.StructField("payload", env_struct)] + list(env_struct.fields)
+    )
+    keep = list(dict.fromkeys([c for c in (key_col, schema_col) if c]))
+    staged = df.select(
+        F.from_json(F.col(col), shell).alias("_p"),
+        F.col(col).alias("_raw0"),
+        *keep,
+    )
+    p = F.col("_p")
+    unwrapped = F.when(p["payload"].isNotNull(), p["payload"]).otherwise(
+        F.struct(*[p[f.name].alias(f.name) for f in env_struct.fields])
+    )
+    kv_cols = (
+        [F.try_parse_json(F.col(key_col)).alias("_kv")] if key_col else []
+    )
+    staged = staged.select(
+        unwrapped.alias("_e"),
+        p.isNotNull().alias("_parsed"),
+        F.col("_raw0"),
+        *kv_cols,
+        *([F.col(schema_col)] if schema_col else []),
+    )
+    df = staged
+    e = F.col("_e")
 
     def _lsn_arm(f: str) -> F.Column:
-        plain = F.get_json_object(v, f"$.source.{f}").cast("long")
+        plain = e["source"][f]
         if f == "pos":
             # mysql: (binlog file sequence, pos) composite when the
             # event names its binlog file; bare pos otherwise
-            return F.coalesce(_binlog_composite(v, BINLOG_POS_BITS), plain)
+            return F.coalesce(_binlog_composite(e, BINLOG_POS_BITS), plain)
         return plain
 
-    lsn = F.coalesce(
-        *[_lsn_arm(f) for f in lsn_fields],
-        F.get_json_object(v, "$.ts_ms").cast("long"),
-    )
-    image = F.coalesce(
-        F.get_json_object(v, "$.after"), F.get_json_object(v, "$.before")
-    )
+    lsn = F.coalesce(*[_lsn_arm(f) for f in lsn_fields], e["ts_ms"])
 
     def _key_field(k: str):
-        from_image = F.get_json_object(image, f"$.{k}")
+        from_image = F.coalesce(
+            _vstr(e["after"], f"$.{k}"), _vstr(e["before"], f"$.{k}")
+        )
         if key_col is None:
             return from_image.alias(k)
         return F.coalesce(
-            F.get_json_object(F.col(key_col), f"$.{k}"), from_image
+            _vstr(F.col("_kv"), f"$.{k}"), from_image
         ).alias(k)
 
     key = F.struct(*[_key_field(k) for k in KEY_COLS])
     source = F.struct(
-        F.get_json_object(v, "$.source.db").alias("db"),
+        e["source"]["db"].alias("db"),
         F.coalesce(
-            F.get_json_object(v, "$.source.table"),
-            F.get_json_object(v, "$.source.collection"),
+            e["source"]["table"], e["source"]["collection"]
         ).alias("table"),
-        F.coalesce(
-            F.get_json_object(v, "$.source.snapshot"), F.lit("false")
-        ).alias("snapshot"),
-        F.get_json_object(v, "$.source.connector").alias("connector"),
-    )
-    # Debezium transaction block (Envelope.java:36-37); null when the
-    # connector runs without transaction metadata
-    tx = F.when(
-        F.get_json_object(v, "$.transaction").isNotNull(),
-        F.struct(
-            F.get_json_object(v, "$.transaction.id").alias("id"),
-            F.get_json_object(v, "$.transaction.total_order")
-            .cast("long")
-            .alias("total_order"),
-            F.get_json_object(v, "$.transaction.data_collection_order")
-            .cast("long")
-            .alias("data_collection_order"),
+        F.coalesce(e["source"]["snapshot"], F.lit("false")).alias(
+            "snapshot"
         ),
+        e["source"]["connector"].alias("connector"),
     )
     # Non-envelope messages (no `op`): schema-change/DDL notifications
     # with an open-schema body (Message.java:24-36 @JsonAnySetter).
     # They enter the log as op='m' carrying the WHOLE value doc in
     # message_json — only RAW with ignoreDdl=false delivers them
     # (ChangeConsumer.java:205-210); every other path drops 'm' because
-    # it is not in DATA_OPS.
-    wire_op = F.get_json_object(v, "$.op")
-    op = F.coalesce(wire_op, F.when(v.isNotNull(), F.lit("m")))
+    # it is not in DATA_OPS. The body re-reads the raw line (not the
+    # typed shell, which would drop the open-schema fields) — lazily,
+    # only on the rare op-less rows.
+    wire_op = e["op"]
+    op = F.coalesce(wire_op, F.when(F.col("_parsed"), F.lit("m")))
+    message = F.when(
+        wire_op.isNull(),
+        F.coalesce(
+            F.get_json_object(F.col("_raw0"), "$.payload"), F.col("_raw0")
+        ),
+    )
     cols = [
         lsn.alias("lsn"),
-        F.get_json_object(v, "$.ts_ms").cast("long").alias("ts_ms"),
+        e["ts_ms"].alias("ts_ms"),
         op.alias("op"),
         key.alias("key"),
-        F.get_json_object(v, "$.before").alias("before_json"),
-        F.get_json_object(v, "$.after").alias("after_json"),
+        _vjson(e["before"]).alias("before_json"),
+        _vjson(e["after"]).alias("after_json"),
         source.alias("source"),
-        tx.alias("transaction"),
-        F.when(wire_op.isNull(), v).alias("message_json"),
+        e["transaction"].alias("transaction"),
+        message.alias("message_json"),
         F.lit(None).cast("long").alias("epoch_hint"),
         (lsn / F.lit(bucket_span)).cast("long").alias("lsn_bucket"),
     ]
     if order_token_field is not None:
         cols.append(
-            F.get_json_object(v, f"$.source.{order_token_field}").alias(
-                "_order_token"
-            )
+            e["source"][order_token_field].alias("_order_token")
         )
     if schema_col is not None:
         # the Connect value schema the converter wrapped around the
