@@ -303,15 +303,17 @@ lexical (out-of-LSN-order) file-source delivery stays safe on MOR
 because deletes persist as tombstones and readers LWW-resolve on
 (_lsn, _ts_ms); `merge_mode="cow"` remains the read-optimized option.
 
-## Soak (robustness at 4x bench scale, re-measured round 2)
+## Soak (robustness at 4x bench scale, re-measured round 3)
 
 64,000,000 events (11 GB log, 6.4M keys, 4 epochs of 16M) replayed on
-local[32]: **146.8 s wall = 436k events/s** sustained (round 1: 212 s
-/ 302k — the prefetched inference + pipeline work lands at scale too),
-final table 5,762,478 rows (bit-identical to round 1), t_infer 0.0 s
-on all four epochs. Exercises the adaptive dedupe gate (6.4M winners >
-broadcast limit → one-pass path) and the >2M-key shuffle anti-join
-fallback in the merge. This soak has now caught TWO
+local[32], two round-3 runs: **119.7 s warm / 202.6 s cold page cache**
+(536k / 316k events/s; round 2: 146.8 s, round 1: 212 s — the 11 GB
+log's cache state dominates run-to-run spread), final table 5,762,478
+rows (bit-identical across every round and run), t_infer 0.0 s on all
+four epochs. Exercises the adaptive dedupe gate (6.4M winners >
+broadcast limit → one-pass path, now carrying the ride-along
+consumed-event counter) and the >2M-key shuffle anti-join fallback in
+the merge. This soak has now caught TWO
 memory bugs: a winner-broadcast OOM in round 1
 (EngineConfig.winner_broadcast_limit) and, in round 2, a
 columnar-cache-build OOM at 32 threads on a 16 GB heap (ColumnBuilder

@@ -47,6 +47,7 @@ def stream_log(
     max_files_per_trigger: int = 8,
     merge_mode: str = "mor",
     compact_every: int | None = 64,
+    expire_keep_last: int | None = 8,
 ):
     """Start the streaming applier; returns the StreamingQuery.
 
@@ -70,7 +71,11 @@ def stream_log(
         tombstones and readers LWW-resolve on (_lsn, _ts_ms) at scan
         time. Every ``compact_every`` micro-batches a compaction pass
         folds accumulated deltas into base files (read cost bounded
-        without putting a table-sized rewrite in EVERY batch).
+        without putting a table-sized rewrite in EVERY batch), then —
+        unless ``expire_keep_last`` is None — retires snapshots beyond
+        the ``expire_keep_last`` newest and reclaims their
+        now-unreferenced files, so a long-running stream's disk usage
+        tracks TABLE size, not stream length.
       "cow" — out-of-order-safe lww_guard rewrite per micro-batch
         (reads stay delta-free at the price of O(touched table) per
         batch — only for small tables or very slow triggers).
@@ -127,9 +132,19 @@ def stream_log(
             # stream; a concurrent writer on the same table would
             # surface as ConcurrentCommitError (fail loudly, retry
             # next cadence, rather than lose files).
-            from plugin_debezium_spark.plans.compact import compact
+            from plugin_debezium_spark.plans.compact import (
+                compact,
+                expire_snapshots,
+            )
 
             compact(table, min_files_per_bucket=2)
+            if expire_keep_last:
+                # without expiry a long-running stream's disk grows
+                # with stream LENGTH (every epoch's superseded delta +
+                # base files stay referenced by old snapshots); expiry
+                # is anchored on the current pointer, so it is safe
+                # under the stream's own sequential commits
+                expire_snapshots(table, keep_last=expire_keep_last)
 
     writer = (
         stream.writeStream.foreachBatch(_apply)

@@ -201,6 +201,7 @@ def test_streaming_mor_appends_deltas_and_compacts(spark, tmp_path):
         max_files_per_trigger=8,
         merge_mode="mor",
         compact_every=4,
+        expire_keep_last=None,  # keep history: this test audits it
     )
     q.awaitTermination()
     t = LakeTable(spark, cfg.table_dir)
@@ -236,6 +237,57 @@ def test_streaming_cow_mode_matches_golden(spark, tmp_path):
         assert all(
             f.get("kind", "base") != "delta" for f in t.snapshot(sid).files
         )
+    got = {
+        tuple(r)
+        for r in t.read()
+        .select("repo", "path", "commit", "content_sha256")
+        .collect()
+    }
+    assert got == golden_key_hashes(read_log_pandas(log))
+
+
+def test_streaming_expiry_bounds_disk_to_table_size(spark, tmp_path):
+    """Long-running stream hygiene: cadence expiry retires snapshots
+    past expire_keep_last and reclaims their unreferenced files, so
+    disk tracks TABLE size, not stream length — while the final state
+    stays golden."""
+    import os
+
+    from plugin_debezium_spark.plans.lake import LakeTable
+    from plugin_debezium_spark.streaming.realtime import stream_log
+
+    log = write_log(spark, str(tmp_path / "log"), SPEC)
+    cfg = EngineConfig(
+        log_dir=log, table_dir=str(tmp_path / "tbl"), write_metrics=False
+    )
+    q = stream_log(
+        spark,
+        cfg,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        max_files_per_trigger=4,  # ~16 micro-batches
+        merge_mode="mor",
+        compact_every=4,
+        expire_keep_last=2,
+    )
+    q.awaitTermination()
+    t = LakeTable(spark, cfg.table_dir)
+    # history pruned to the retention window (+ commits after the last
+    # cadence point)
+    assert len(t.snapshots()) <= 2 + 4
+    # every parquet on disk is referenced by SOME retained snapshot
+    # (expiry reclaimed the rest)
+    on_disk = set()
+    for root, _d, names in os.walk(t.data_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                on_disk.add(
+                    os.path.relpath(os.path.join(root, n), t.path)
+                )
+    referenced = {
+        f["path"] for sid in t.snapshots() for f in t.snapshot(sid).files
+    }
+    assert on_disk == referenced
     got = {
         tuple(r)
         for r in t.read()
