@@ -263,8 +263,8 @@ def connected_components(
     Each round is two shuffles (message groupBy + label merge) and the
     round count is the graph DIAMETER (one hop per round) — near-dup
     components are dense and shallow, so typical corpora converge in
-    <5 rounds; switch to large-star/small-star (log-diameter) if a
-    workload ever ships long chains. Lineage is cut per round
+    <5 rounds; use ``connected_components_star`` (log-diameter
+    large-star/small-star) if a workload ships long chains. Lineage is cut per round
     (localCheckpoint) so the plan doesn't grow exponentially — the
     standard Spark iterative-algorithm pattern. Raises if not converged
     within max_iters (a diameter that large means the input is not
@@ -357,6 +357,132 @@ def connected_components(
             f"connected_components did not converge in {max_iters} rounds"
         )
     out = labels.select(F.col("id"), F.col("label").alias("cluster"))
+    if nodes is not None:
+        singletons = (
+            nodes.toDF("id")
+            .distinct()
+            .join(out.select("id"), "id", "left_anti")
+            .withColumn("cluster", F.col("id"))
+        )
+        out = out.unionByName(singletons)
+    return out
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm): converges in O(log n) rounds
+    regardless of graph DIAMETER, the escape hatch
+    ``connected_components``'s docstring promises for long chains
+    (min-label propagation runs one round per hop, so a 10^4-link
+    chain needs 10^4 rounds; this needs ~14).
+
+    large-star: every node attaches its strictly-greater neighbors to
+    the minimum of its closed neighborhood. small-star: every node
+    attaches its smaller-or-equal neighbors (and itself) to that
+    minimum. The fixed point is a forest of stars centered at each
+    component's minimum id — read the labels straight off the edges.
+
+    Per round: two groupBy/join pairs over the CURRENT edge set (which
+    only shrinks toward one edge per non-root node). Convergence is
+    detected by an (edge-count, order-insensitive checksum) pair
+    riding one tiny agg per round; lineage is cut per round like the
+    label-propagation variant. Same output schema: (id, cluster),
+    singletons appended after the loop."""
+    sc = edges.sparkSession.sparkContext
+
+    def _ckpt(df):
+        jmap = sc._jsc.getPersistentRDDs()
+        before = {int(k) for k in jmap.keySet().toArray()}
+        out = df.localCheckpoint()
+        jmap = sc._jsc.getPersistentRDDs()
+        handles = [
+            jmap.get(k)
+            for k in jmap.keySet().toArray()
+            if int(k) not in before
+        ]
+        return out, handles
+
+    def _retire(handles):
+        for h in handles:
+            try:
+                h.unpersist(False)
+            except Exception:
+                pass  # best-effort: the ContextCleaner is the backstop
+
+    def _canon(df):
+        # undirected edge → (larger, smaller), self-loops dropped
+        return (
+            df.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _sig(df):
+        # order-insensitive edge-set fingerprint: one tiny agg.
+        # decimal sum: a long sum of xxhash64 values overflows under
+        # ANSI arithmetic (Spark 4 default)
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"] or 0)
+
+    e, gen_handles = _ckpt(
+        _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    )
+    sig = _sig(e)
+    done = sig[0] == 0
+    for _ in range(max_iters):
+        if done:
+            break
+        bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bi.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = F.least(F.col("_mn"), F.col("u"))
+        # large-star: strictly-greater neighbors → closed-nbhd min
+        ls = _canon(
+            bi.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+        )
+        # small-star over the canonical (larger→smaller) edges: every
+        # smaller neighbor AND the node itself → that min
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("_mn"))
+        ss = _canon(
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("_mn").alias("v")))
+        )
+        nxt, new_handles = _ckpt(ss)
+        nsig = _sig(nxt)
+        _retire(gen_handles)
+        gen_handles = new_handles
+        e = nxt
+        if nsig == sig:
+            done = True
+        sig = nsig
+    if not done:
+        _retire(gen_handles)
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "rounds"
+        )
+    # fixed point = stars: every edge is (member, component-min)
+    out = e.select(F.col("u").alias("id"), F.col("v").alias("cluster"))
+    roots = (
+        e.select(F.col("v").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+    )
+    out = out.unionByName(roots).distinct()
     if nodes is not None:
         singletons = (
             nodes.toDF("id")

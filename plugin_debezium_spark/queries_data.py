@@ -121,6 +121,28 @@ def dedup_clusters(spark, sf_dir):
     return dedup_cluster_reps(d, pairs)
 
 
+def dedup_clusters_star(spark, sf_dir):
+    """Same duplicate clusters via the LARGE-STAR/SMALL-STAR
+    formulation (log-diameter rounds — the long-chain scale path next
+    to dedup_clusters' per-hop label propagation). Identical output
+    contract, so it shares dedup_clusters' recursive-CTE oracle."""
+    from pyspark.sql import functions as F
+
+    from plugin_debezium_spark.operators.neardup import (
+        connected_components_star,
+    )
+
+    d = _docs(spark, sf_dir)
+    sigs = minhash_signatures(d, n_perms=8, shingle_words=3)
+    pairs = minhash_lsh_candidates(sigs, n_perms=8, bands=2)
+    cc = connected_components_star(pairs, nodes=d.select("doc_id"))
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster",
+        (F.col("id") == F.col("cluster")).alias("is_rep"),
+    )
+
+
 def dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), n_bits=16)
 
@@ -805,6 +827,7 @@ DATA_QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_star": dedup_clusters_star,
     "dedup_simhash": dedup_simhash,
     "text_token_counts": text_token_counts,
     "text_quality_features": text_quality_features,
@@ -867,6 +890,8 @@ s AS (
 SELECT split, count(*) AS n, min(doc_id) AS min_doc
 FROM s GROUP BY split ORDER BY split
 """
+
+DATA_ORACLES["dedup_clusters_star"] = DATA_ORACLES["dedup_clusters"]
 
 DATA_QUERIES.update(
     {

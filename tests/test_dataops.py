@@ -344,3 +344,69 @@ def test_cosine_bucket_cap(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (100, 101) in pairs
     assert all(a >= 100 for a, _ in pairs)  # degenerate bucket dropped
+
+
+def test_connected_components_star_long_chain_and_parity(spark):
+    """large-star/small-star (log-diameter) handles a chain far past
+    min-label propagation's round budget, and agrees with the label
+    variant on a mixed graph."""
+    import pandas as pd
+
+    from plugin_debezium_spark.operators.neardup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # 120-link chain: label propagation needs 120 rounds (> its
+    # max_iters=25); the star variant needs ~log2(120)
+    chain = [(i, i + 1) for i in range(200, 320)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(chain, columns=["id_a", "id_b"])
+    )
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"id": list(range(200, 321)) + [999]})
+    )
+    got = {
+        (r["id"], r["cluster"])
+        for r in connected_components_star(pairs, nodes=nodes).collect()
+    }
+    expect = {(i, 200) for i in range(200, 321)} | {(999, 999)}
+    assert got == expect
+
+    # parity with the label variant on a shallow mixed graph
+    mixed = [(1, 2), (2, 3), (7, 5), (5, 6), (8, 9)]
+    p2 = spark.createDataFrame(pd.DataFrame(mixed, columns=["id_a", "id_b"]))
+    n2 = spark.createDataFrame(pd.DataFrame({"id": list(range(1, 12))}))
+    a = {
+        (r["id"], r["cluster"])
+        for r in connected_components(p2, nodes=n2).collect()
+    }
+    b = {
+        (r["id"], r["cluster"])
+        for r in connected_components_star(p2, nodes=n2).collect()
+    }
+    assert a == b
+
+
+def test_connected_components_star_empty_edges(spark):
+    from pyspark.sql import types as T
+
+    from plugin_debezium_spark.operators.neardup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("id_a", T.LongType()),
+                T.StructField("id_b", T.LongType()),
+            ]
+        ),
+    )
+    nodes = spark.range(3).toDF("id")
+    got = {
+        (r["id"], r["cluster"])
+        for r in connected_components_star(pairs, nodes=nodes).collect()
+    }
+    assert got == {(0, 0), (1, 1), (2, 2)}
