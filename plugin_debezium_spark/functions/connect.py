@@ -109,7 +109,14 @@ def decimal_from_bytes(col, scale: int = 0, precision: int = 38) -> Column:
     neg = F.substring(h, 1, 1).isin(*"89ABCDEF")
     padded = F.when(neg, F.lpad(h, 16, "F")).otherwise(F.lpad(h, 16, "0"))
     unscaled = F.conv(padded, 16, -10)  # signed decimal digits string
-    if scale <= 0:
+    if scale < 0:
+        # BigDecimal semantics: value = unscaled * 10^-scale — splice
+        # the zeros into the digit string (exact; no decimal multiply
+        # whose precision rules could round)
+        return F.when(c.isNull(), F.lit(None)).otherwise(
+            F.concat(unscaled, F.lit("0" * -scale))
+        ).cast(T.DecimalType(precision, 0))
+    if scale == 0:
         return unscaled.cast(T.DecimalType(precision, 0))
     sign = F.when(unscaled.startswith("-"), F.lit("-")).otherwise(F.lit(""))
     digits = F.regexp_replace(unscaled, "^-", "")

@@ -483,6 +483,19 @@ def connected_components_star(
         .withColumn("cluster", F.col("id"))
     )
     out = out.unionByName(roots).distinct()
+    # nodes that reached the loop only via self-loops vanished at the
+    # canonicalization — relabel them as their own singleton so the
+    # output contract matches connected_components (which keeps them)
+    endpoints = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    out = out.unionByName(
+        endpoints.join(out.select("id"), "id", "left_anti").withColumn(
+            "cluster", F.col("id")
+        )
+    )
     if nodes is not None:
         singletons = (
             nodes.toDF("id")
@@ -541,8 +554,12 @@ def simhash(
     )
     sim = None
     for b in range(n_bits):
+        # JVM-side shift, not a Python literal: F.lit(1 << 63) would
+        # overflow LongType at plan build, and 64 bits is the
+        # canonical SimHash width (bit 63 lands on the sign bit, as a
+        # 64-bit fingerprint should)
         term = F.when(
-            F.col(f"_v{b}") > 0, F.lit(1 << b).cast("bigint")
+            F.col(f"_v{b}") > 0, F.expr(f"shiftleft(cast(1 as bigint), {b})")
         ).otherwise(F.lit(0).cast("bigint"))
         sim = term if sim is None else sim + term
     return votes.select(F.col(id_col), sim.alias("simhash"))

@@ -75,7 +75,7 @@ def _binlog_composite(v: F.Column, pos_bits: int) -> F.Column:
     only happens on non-MySQL sources abusing `pos`, so fail loudly
     (same contract as import_to_log's overflow guards)."""
     file_seq = F.regexp_extract(v["source"]["file"], r"(\d+)\s*$", 1)
-    pos = v["source"]["pos"]
+    pos = v["source"]["pos"].try_cast("long")
     guarded_pos = F.when(pos < F.lit(1 << pos_bits), pos).otherwise(
         F.raise_error(
             F.concat(
@@ -178,13 +178,20 @@ def envelopes_from_value_json(
 
     from plugin_debezium_spark.models import TRANSACTION_SCHEMA
 
+    # Every source field lands as STRING and numerics try_cast after:
+    # from_json with a LongType field NULLS a string-encoded number
+    # ("scn": "2868546" — Debezium Oracle's wire type IS string),
+    # while a StringType field takes any scalar token's text (numbers,
+    # booleans like a bare `snapshot: true`). try_cast (not cast) so a
+    # non-numeric position degrades to the next coalesce arm instead
+    # of failing the whole import under ANSI.
     src_types: dict[str, T.DataType] = {
         f: T.StringType()
         for f in ("db", "table", "collection", "snapshot", "connector", "file")
     }
     for f in lsn_fields:
-        src_types.setdefault(f, T.LongType())
-    src_types.setdefault("pos", T.LongType())  # binlog composite input
+        src_types.setdefault(f, T.StringType())
+    src_types.setdefault("pos", T.StringType())  # binlog composite input
     if order_token_field is not None:
         src_types.setdefault(order_token_field, T.StringType())
     env_struct = T.StructType(
@@ -231,7 +238,7 @@ def envelopes_from_value_json(
     e = F.col("_e")
 
     def _lsn_arm(f: str) -> F.Column:
-        plain = e["source"][f]
+        plain = e["source"][f].try_cast("long")
         if f == "pos":
             # mysql: (binlog file sequence, pos) composite when the
             # event names its binlog file; bare pos otherwise
@@ -326,7 +333,14 @@ def typed_envelopes(
 
     Output = the envelope-log frame plus ``before``/``after`` typed
     struct columns (and ``schema_json`` for lineage). Rows with no
-    schema block keep null typed images."""
+    schema block keep null typed images.
+
+    The parsed envelope frame is CACHED before the fan-out (the
+    schema-version collect plus one filtered branch per version would
+    otherwise re-run the text scan + wire parse V+2 times); the cache
+    entry stays pinned for the returned DataFrame's lifetime — callers
+    processing huge dumps repeatedly should write the result out and
+    drop it."""
     import json as _json
     from functools import reduce
 
@@ -360,6 +374,7 @@ def typed_envelopes(
             base, "_raw", lsn_fields, schema_col="_schema_json"
         )
 
+    env = env.cache()
     versions = [
         r[0]
         for r in env.select("schema_json")

@@ -129,22 +129,32 @@ def stream_log(
         ):
             # cadence compaction: fold deltas → base. Runs inside
             # foreachBatch, so it never races an epoch commit of THIS
-            # stream; a concurrent writer on the same table would
-            # surface as ConcurrentCommitError (fail loudly, retry
-            # next cadence, rather than lose files).
+            # stream; a concurrent writer on the same table (a batch
+            # engine sharing it — stream_log's epoch_key design allows
+            # that) surfaces as ConcurrentCommitError. Maintenance is
+            # best-effort: swallow it and retry at the next cadence
+            # rather than kill the stream (the epoch itself is already
+            # committed; only this compaction pass is lost).
             from plugin_debezium_spark.plans.compact import (
                 compact,
                 expire_snapshots,
             )
+            from plugin_debezium_spark.plans.lake import (
+                ConcurrentCommitError,
+            )
 
-            compact(table, min_files_per_bucket=2)
-            if expire_keep_last:
-                # without expiry a long-running stream's disk grows
-                # with stream LENGTH (every epoch's superseded delta +
-                # base files stay referenced by old snapshots); expiry
-                # is anchored on the current pointer, so it is safe
-                # under the stream's own sequential commits
-                expire_snapshots(table, keep_last=expire_keep_last)
+            try:
+                compact(table, min_files_per_bucket=2)
+                if expire_keep_last:
+                    # without expiry a long-running stream's disk grows
+                    # with stream LENGTH (every epoch's superseded
+                    # delta + base files stay referenced by old
+                    # snapshots); expiry is anchored on the current
+                    # pointer, so it is safe under the stream's own
+                    # sequential commits
+                    expire_snapshots(table, keep_last=expire_keep_last)
+            except ConcurrentCommitError:
+                pass  # lost the race to another writer; next cadence
 
     writer = (
         stream.writeStream.foreachBatch(_apply)
@@ -164,6 +174,7 @@ def run_available_now(
     checkpoint_dir: str,
     merge_mode: str = "mor",
     compact_every: int | None = 64,
+    expire_keep_last: int | None = 8,
 ) -> None:
     """Reference poll-Trigger cadence (§3.2): drain everything
     currently in the log, then stop."""
@@ -174,5 +185,6 @@ def run_available_now(
         available_now=True,
         merge_mode=merge_mode,
         compact_every=compact_every,
+        expire_keep_last=expire_keep_last,
     )
     q.awaitTermination()

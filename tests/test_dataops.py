@@ -410,3 +410,34 @@ def test_connected_components_star_empty_edges(spark):
         for r in connected_components_star(pairs, nodes=nodes).collect()
     }
     assert got == {(0, 0), (1, 1), (2, 2)}
+
+
+def test_simhash_64_bits_builds_and_runs(spark):
+    """64 bits is the canonical SimHash width; bit 63 must land on the
+    sign bit instead of overflowing at plan build."""
+    import pandas as pd
+
+    from plugin_debezium_spark.operators.neardup import simhash
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["alpha beta gamma"]})
+    )
+    out = simhash(df, n_bits=64).collect()
+    assert len(out) == 1 and isinstance(out[0]["simhash"], int)
+
+
+def test_connected_components_star_keeps_self_loop_nodes(spark):
+    import pandas as pd
+
+    from plugin_debezium_spark.operators.neardup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(5, 5), (1, 2)], columns=["id_a", "id_b"])
+    )
+    got = {
+        (r["id"], r["cluster"])
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == {(5, 5), (1, 1), (2, 1)}

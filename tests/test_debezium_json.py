@@ -311,3 +311,46 @@ def test_import_guard_rejects_oversized_lsn(spark, tmp_path):
     p.write_text(json.dumps(doc) + "\n")
     with pytest.raises(ValueError, match="2\\^47"):
         import_to_log(spark, str(p), str(tmp_path / "log"))
+
+
+def test_string_encoded_positions_survive(spark, tmp_path):
+    """Debezium Oracle ships source.scn as a JSON STRING — a typed
+    long field in the parse shell would silently null it and degrade
+    ordering to the ts_ms fallback. String-encoded positions must
+    drive the lsn exactly like numeric ones."""
+    k = {"repo": "org/o", "path": "a.py", "commit": "c1"}
+    ts = 1700000000000  # constant: ts_ms must NOT rescue the order
+    lines = []
+    for scn, ver in (("99", "v-old"), ("1500", "v-new")):
+        lines.append(
+            json.dumps(
+                {
+                    "op": "u" if ver == "v-new" else "c",
+                    "ts_ms": ts,
+                    "after": {**k, "lang": "sql", "content": ver},
+                    "source": {
+                        "connector": "oracle",
+                        "db": "kestra",
+                        "table": "repofiles",
+                        "snapshot": False,  # bare boolean, not "false"
+                        "scn": scn,  # STRING-encoded position
+                    },
+                }
+            )
+        )
+    # write v-new first: file order must not rescue it either
+    p = tmp_path / "oracle.jsonl"
+    p.write_text(lines[1] + "\n" + lines[0] + "\n")
+    env = envelopes_from_value_json(
+        spark.read.text(str(p)).withColumnRenamed("value", "_raw"), "_raw"
+    )
+    rows = {r["lsn"]: r for r in env.collect()}
+    assert set(rows) == {99, 1500}  # scn drove the lsn, not ts_ms
+    assert rows[99]["source"]["snapshot"] == "false"
+    log = import_to_log(spark, str(p), str(tmp_path / "log"), lsn_buckets=2)
+    cfg = EngineConfig(
+        log_dir=log, table_dir=str(tmp_path / "t"), write_metrics=False
+    )
+    run(spark, cfg)
+    rows = LakeTable(spark, cfg.table_dir).read().collect()
+    assert len(rows) == 1 and rows[0]["content"] == "v-new"

@@ -295,3 +295,45 @@ def test_streaming_expiry_bounds_disk_to_table_size(spark, tmp_path):
         .collect()
     }
     assert got == golden_key_hashes(read_log_pandas(log))
+
+
+def test_cadence_maintenance_race_does_not_kill_stream(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent writer can make the cadence compaction lose its
+    optimistic-commit race; the stream must swallow that and retry
+    next cadence, not terminate."""
+    from plugin_debezium_spark.plans import compact as compact_mod
+    from plugin_debezium_spark.plans.lake import ConcurrentCommitError
+    from plugin_debezium_spark.streaming.realtime import stream_log
+
+    calls = {"n": 0}
+
+    def _boom(*a, **kw):
+        calls["n"] += 1
+        raise ConcurrentCommitError("simulated concurrent writer")
+
+    monkeypatch.setattr(compact_mod, "compact", _boom)
+    log = write_log(spark, str(tmp_path / "log"), SPEC)
+    cfg = EngineConfig(
+        log_dir=log, table_dir=str(tmp_path / "tbl"), write_metrics=False
+    )
+    q = stream_log(
+        spark,
+        cfg,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        max_files_per_trigger=8,
+        merge_mode="mor",
+        compact_every=2,
+    )
+    q.awaitTermination()  # must NOT raise
+    assert calls["n"] >= 1  # the cadence did fire and did lose races
+    t = LakeTable(spark, cfg.table_dir)
+    got = {
+        tuple(r)
+        for r in t.read()
+        .select("repo", "path", "commit", "content_sha256")
+        .collect()
+    }
+    assert got == golden_key_hashes(read_log_pandas(log))

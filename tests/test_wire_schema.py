@@ -232,3 +232,14 @@ def test_connect_decode_json_required_null_raises(spark):
         spark.range(1).select(
             connect_decode_json(F.lit('{"a": null}'), schema).alias("v")
         ).collect()
+
+
+def test_decimal_negative_scale(spark):
+    """Connect Decimal permits negative scales (BigDecimal): value =
+    unscaled * 10^-scale, not a silent scale-0 misread."""
+    out = (
+        spark.range(1)
+        .select(decimal_from_bytes(F.lit(_dec_b64(123, 1)), -2).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert out == decimal.Decimal("12300")
