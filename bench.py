@@ -303,6 +303,16 @@ lexical (out-of-LSN-order) file-source delivery stays safe on MOR
 because deletes persist as tombstones and readers LWW-resolve on
 (_lsn, _ts_ms); `merge_mode="cow"` remains the read-optimized option.
 
+## Wire import throughput (round 3)
+
+`import_to_log` (Debezium JSON-lines dump → bucketed envelope log,
+`jobs/import_dump.py`): 4,000,000 events / 2.0 GB of wire JSON in
+19.1 s on local[16] = **210k events/s (~106 MB/s)** — including the
+single from_json shell parse, the unique-LSN minting window, both
+overflow guards, and the bucket-partitioned sorted parquet write.
+One-shot cost in front of a replay; scales with input splits (the
+text source splits by line).
+
 ## Soak (robustness at 4x bench scale, re-measured round 3)
 
 64,000,000 events (11 GB log, 6.4M keys, 4 epochs of 16M) replayed on

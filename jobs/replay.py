@@ -57,6 +57,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="drain via Structured Streaming availableNow")
     p.add_argument("--checkpoint-dir", default=None,
                    help="streaming checkpoint location (with --streaming)")
+    p.add_argument("--stream-merge-mode", default="mor",
+                   choices=["mor", "cow"],
+                   help="streaming applier strategy: mor = O(batch) "
+                        "delta appends + cadence compaction (default); "
+                        "cow = per-batch lww rewrite (read-optimized)")
+    p.add_argument("--compact-every", type=int, default=64,
+                   help="fold MOR deltas every N micro-batches (0 = off)")
+    p.add_argument("--expire-keep-last", type=int, default=8,
+                   help="snapshots retained at each compaction cadence "
+                        "(0 = never expire)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -98,7 +108,14 @@ def main(argv: list[str] | None = None) -> int:
         from plugin_debezium_spark.streaming.realtime import run_available_now
 
         ckpt = args.checkpoint_dir or args.table_dir + "/_stream_checkpoint"
-        run_available_now(spark, cfg, ckpt)
+        run_available_now(
+            spark,
+            cfg,
+            ckpt,
+            merge_mode=args.stream_merge_mode,
+            compact_every=args.compact_every or None,
+            expire_keep_last=args.expire_keep_last or None,
+        )
         print(json.dumps({"mode": "streaming", "table": args.table_dir}))
     else:
         out = run(spark, cfg)
