@@ -689,6 +689,58 @@ def cdc_resume_token_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wire_final_state(uniq)
 
 
+def cdc_replay_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changelog OUT of the lake (plans/diff.table_diff —
+    the Iceberg changelog-scan shape): apply the first half of the
+    stream as one epoch, the rest as a second, then diff the two
+    retained snapshots. Net per-key changes (c/u/d on the unique _lsn
+    version comparator); the oracle computes the same full-outer diff
+    of the two LWW cutoffs in SQL."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from plugin_debezium_spark.plans.diff import table_diff
+    from plugin_debezium_spark.plans.merge import merge_batch
+    from plugin_debezium_spark.streaming.engine import (
+        EngineConfig,
+        ensure_table,
+    )
+
+    env = envelopes_from_events(spark, sf_dir)
+    hi = int(env.agg(F.max("lsn")).collect()[0][0])
+    t1 = hi // 2
+    rows = env.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.sha2("content", 256).alias("content_sha256"),
+        F.col("lsn").alias("_lsn"),
+        F.col("ts_ms").alias("_ts_ms"),
+        "op",
+    )
+    d = tempfile.mkdtemp(prefix="cdc_diff_")
+    atexit.register(shutil.rmtree, d, True)
+    cfg = EngineConfig(
+        log_dir=f"{d}/nolog", table_dir=f"{d}/tbl", write_metrics=False
+    )
+    table = ensure_table(spark, cfg)
+    merge_batch(table, rows.filter(F.col("_lsn") <= t1), epoch_id=0, last_lsn=t1)
+    mid = table.current().snapshot_id
+    merge_batch(table, rows.filter(F.col("_lsn") > t1), epoch_id=1, last_lsn=hi)
+    return table_diff(table, mid).select(
+        "repo",
+        "path",
+        "commit",
+        "op",
+        "content",
+        "content_sha256",
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -836,6 +888,39 @@ SELECT repo, path, commit, content,
        mlsn AS last_lsn
 FROM latest WHERE rn = 1 AND op <> 'd'
 """,
+    # full-outer diff of the two LWW cutoffs; _lsn (unique per row
+    # version) is the comparator, matching table_diff
+    "cdc_replay_diff": f"""
+WITH {ENV_SQL},
+t1 AS (SELECT max(lsn) // 2 AS t FROM env),
+l1 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path, commit ORDER BY lsn DESC) AS rn
+  FROM env WHERE lsn <= (SELECT t FROM t1)
+),
+s1 AS (SELECT repo, path, commit, lsn FROM l1 WHERE rn = 1 AND op <> 'd'),
+l2 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path, commit ORDER BY lsn DESC) AS rn
+  FROM env
+),
+s2 AS (
+  SELECT repo, path, commit, content, lsn
+  FROM l2 WHERE rn = 1 AND op <> 'd'
+)
+SELECT coalesce(s2.repo, s1.repo) AS repo,
+       coalesce(s2.path, s1.path) AS path,
+       coalesce(s2.commit, s1.commit) AS commit,
+       CASE WHEN s1.lsn IS NULL THEN 'c'
+            WHEN s2.lsn IS NULL THEN 'd'
+            ELSE 'u' END AS op,
+       s2.content AS content,
+       sha256(s2.content) AS content_sha256,
+       s2.lsn AS last_lsn
+FROM s2 FULL OUTER JOIN s1
+  ON s1.repo = s2.repo AND s1.path = s2.path AND s1.commit = s2.commit
+WHERE s1.lsn IS NULL OR s2.lsn IS NULL OR s1.lsn <> s2.lsn
+""",
 }
 
 from plugin_debezium_spark.queries_data import (  # noqa: E402
@@ -863,5 +948,6 @@ QUERIES = {
     "cdc_snapshot_union": cdc_snapshot_union,
     "cdc_binlog_rotation": cdc_binlog_rotation,
     "cdc_resume_token_order": cdc_resume_token_order,
+    "cdc_replay_diff": cdc_replay_diff,
 }
 QUERIES.update(DATA_QUERIES)
