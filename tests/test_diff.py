@@ -78,3 +78,31 @@ def test_table_diff_same_snapshot_is_empty(spark, tmp_path):
     t = LakeTable(spark, cfg.table_dir)
     cur = t.current().snapshot_id
     assert table_diff(t, cur, cur).count() == 0
+
+
+def test_table_diff_on_mor_snapshots(spark, tmp_path):
+    """Diff must LWW-resolve merge-on-read snapshots (delta files +
+    tombstones) before comparing — same answer as the COW table built
+    from the same log."""
+    log_dir = write_log(
+        spark,
+        str(tmp_path / "log"),
+        LogSpec(n_events=1_500, n_keys=200, n_snapshot=200, epoch_size=500),
+    )
+    diffs = {}
+    for mode in ("cow", "mor"):
+        cfg = EngineConfig(
+            log_dir=log_dir,
+            table_dir=str(tmp_path / f"tbl_{mode}"),
+            max_events_per_batch=500,
+            merge_mode=mode,
+            write_metrics=False,
+        )
+        run(spark, cfg)
+        t = LakeTable(spark, cfg.table_dir)
+        mid = t.snapshots()[1]
+        diffs[mode] = {
+            (r["repo"], r["path"], r["commit"]): (r["op"], r["_lsn"])
+            for r in table_diff(t, mid).collect()
+        }
+    assert diffs["cow"] == diffs["mor"] and diffs["cow"]

@@ -243,3 +243,37 @@ def test_decimal_negative_scale(spark):
         .collect()[0]["d"]
     )
     assert out == decimal.Decimal("12300")
+
+
+def test_typed_envelopes_combined_wire(spark, tmp_path):
+    """wire='combined' ({key, value} record pairs): the value doc's
+    schema block drives typing and the key doc drives key columns."""
+    after = {
+        "repo": "org/c",
+        "path": "k.py",
+        "commit": "c7",
+        "lang": "py",
+        "content": "x",
+        "price": _dec_b64(777, 2),  # 7.77
+        "added_on": 2,
+        "blob": base64.b64encode(b"k").decode(),
+        "sz": 9,
+        "tags": ["t"],
+        "attrs": {"a": 2},
+        "created": "2021-06-01T00:00:00Z",
+        "lease": "P3D",
+        "opt_def": 5,
+    }
+    line = json.dumps(
+        {
+            "key": {"payload": {"repo": "org/c", "path": "k.py", "commit": "c7"}},
+            "value": json.loads(_wire_line(3, after)),
+        }
+    )
+    p = tmp_path / "combined_typed.jsonl"
+    p.write_text(line + "\n")
+    env = typed_envelopes(spark, str(p), wire="combined")
+    row = env.collect()[0]
+    assert row["key"]["repo"] == "org/c"
+    assert row["after"]["price"] == decimal.Decimal("7.77")
+    assert row["after"]["lease"]["days"] == 3
