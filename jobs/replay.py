@@ -63,10 +63,13 @@ def main(argv: list[str] | None = None) -> int:
                         "delta appends + cadence compaction (default); "
                         "cow = per-batch lww rewrite (read-optimized)")
     p.add_argument("--compact-every", type=int, default=64,
-                   help="fold MOR deltas every N micro-batches (0 = off)")
+                   help="maintenance cadence in micro-batches: folds MOR "
+                        "deltas and runs snapshot expiry (0 = no cadence "
+                        "maintenance at all)")
     p.add_argument("--expire-keep-last", type=int, default=8,
-                   help="snapshots retained at each compaction cadence "
-                        "(0 = never expire)")
+                   help="snapshots retained at each maintenance cadence, "
+                        "any merge mode (0 = never expire; inert when "
+                        "--compact-every is 0)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession

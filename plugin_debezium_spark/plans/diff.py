@@ -60,7 +60,12 @@ def table_diff(
         .when(F.col("_lsn").isNull(), F.lit("d"))
         .when(F.col("_lsn") != F.col("_old_lsn"), F.lit("u"))
     )
-    payload = [c for c in new.columns if c not in key_cols]
+    # _deleted is an internal tombstone marker — read_at already
+    # filtered tombstones, so it would be a dead always-false/null
+    # column in the public changelog shape
+    payload = [
+        c for c in new.columns if c not in key_cols and c != "_deleted"
+    ]
     return (
         j.withColumn("_diff_op", op)
         .filter(F.col("_diff_op").isNotNull())

@@ -708,8 +708,10 @@ def cdc_replay_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     env = envelopes_from_events(spark, sf_dir)
-    hi = int(env.agg(F.max("lsn")).collect()[0][0])
-    t1 = hi // 2
+    # cached: the max-lsn action warms it and the two merge batches
+    # reuse it (three derivations of one scan otherwise); the merges'
+    # writes materialize to parquet, so the cache can be dropped
+    # before the diff is returned
     rows = env.select(
         "repo",
         "path",
@@ -720,16 +722,25 @@ def cdc_replay_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lsn").alias("_lsn"),
         F.col("ts_ms").alias("_ts_ms"),
         "op",
-    )
+    ).cache()
+    hi = int(rows.agg(F.max("_lsn")).collect()[0][0])
+    t1 = hi // 2
     d = tempfile.mkdtemp(prefix="cdc_diff_")
     atexit.register(shutil.rmtree, d, True)
     cfg = EngineConfig(
         log_dir=f"{d}/nolog", table_dir=f"{d}/tbl", write_metrics=False
     )
     table = ensure_table(spark, cfg)
-    merge_batch(table, rows.filter(F.col("_lsn") <= t1), epoch_id=0, last_lsn=t1)
-    mid = table.current().snapshot_id
-    merge_batch(table, rows.filter(F.col("_lsn") > t1), epoch_id=1, last_lsn=hi)
+    try:
+        merge_batch(
+            table, rows.filter(F.col("_lsn") <= t1), epoch_id=0, last_lsn=t1
+        )
+        mid = table.current().snapshot_id
+        merge_batch(
+            table, rows.filter(F.col("_lsn") > t1), epoch_id=1, last_lsn=hi
+        )
+    finally:
+        rows.unpersist()
     return table_diff(table, mid).select(
         "repo",
         "path",

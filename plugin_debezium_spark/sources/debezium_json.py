@@ -215,6 +215,13 @@ def envelopes_from_value_json(
         [T.StructField("payload", env_struct)] + list(env_struct.fields)
     )
     keep = list(dict.fromkeys([c for c in (key_col, schema_col) if c]))
+    # Stateless blank-line pre-filter, BEFORE the parse: it pushes into
+    # the text scan harmlessly, and it keeps degenerate all-blank
+    # inputs away from a Spark 4.1 fallback-Predicate quirk (the final
+    # null-drop filter gets substituted below the projections by
+    # predicate pushdown; in the rare non-whole-stage fallback the
+    # stateful from_json inside that pushed predicate NPEs on init).
+    df = df.filter(F.length(F.trim(F.col(col))) > 0)
     staged = df.select(
         F.from_json(F.col(col), shell).alias("_p"),
         F.col(col).alias("_raw0"),
@@ -499,6 +506,14 @@ def import_to_log(
     env = assign_unique_lsns(env, order_token=order_token_field is not None)
     cached = env._tie_cache
     lo, hi = env.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    if hi is None:
+        # empty dump (or all Kafka tombstones, which the combined wire
+        # drops) — fail with a clear message instead of int(None)
+        cached.unpersist()
+        raise ValueError(
+            f"import_to_log: no envelope events found in {json_path!r} "
+            "(empty dump, or every line was a tombstone/malformed)"
+        )
     span = max(1, (int(hi) - int(lo) + 1) // lsn_buckets)
     env = env.withColumn(
         "lsn_bucket", ((F.col("lsn") - F.lit(int(lo))) / span).cast("long")

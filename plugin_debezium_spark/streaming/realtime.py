@@ -78,7 +78,9 @@ def stream_log(
         tracks TABLE size, not stream length.
       "cow" — out-of-order-safe lww_guard rewrite per micro-batch
         (reads stay delta-free at the price of O(touched table) per
-        batch — only for small tables or very slow triggers).
+        batch — only for small tables or very slow triggers). The
+        expiry cadence applies here too: superseded bucket rewrites
+        accumulate per batch and must be reclaimed.
 
     TRUNCATE envelopes: an out-of-order truncate is ill-defined, so
     under the default truncate_policy="apply" a 't' event fails the
@@ -122,19 +124,20 @@ def stream_log(
             events=batch_df,
             epoch_key=epoch_key,
         )
-        if (
-            compact_every
-            and cfg.merge_mode == "mor"
-            and (int(batch_id) + 1) % compact_every == 0
-        ):
-            # cadence compaction: fold deltas → base. Runs inside
-            # foreachBatch, so it never races an epoch commit of THIS
-            # stream; a concurrent writer on the same table (a batch
-            # engine sharing it — stream_log's epoch_key design allows
-            # that) surfaces as ConcurrentCommitError. Maintenance is
-            # best-effort: swallow it and retry at the next cadence
-            # rather than kill the stream (the epoch itself is already
-            # committed; only this compaction pass is lost).
+        if compact_every and (int(batch_id) + 1) % compact_every == 0:
+            # cadence maintenance, inside foreachBatch so it never
+            # races an epoch commit of THIS stream. Compaction folds
+            # MOR deltas → base; expiry runs in BOTH merge modes (a
+            # cow stream accumulates superseded bucket rewrites just
+            # as fast — without it, disk grows with stream LENGTH, not
+            # table size; anchored on the current pointer, so safe
+            # under the stream's own sequential commits). A concurrent
+            # writer on the same table (a batch engine sharing it —
+            # stream_log's epoch_key design allows that) surfaces as
+            # ConcurrentCommitError: maintenance is best-effort, so
+            # swallow it and retry at the next cadence rather than
+            # kill the stream (the epoch itself is already committed;
+            # only this maintenance pass is lost).
             from plugin_debezium_spark.plans.compact import (
                 compact,
                 expire_snapshots,
@@ -144,14 +147,9 @@ def stream_log(
             )
 
             try:
-                compact(table, min_files_per_bucket=2)
+                if cfg.merge_mode == "mor":
+                    compact(table, min_files_per_bucket=2)
                 if expire_keep_last:
-                    # without expiry a long-running stream's disk grows
-                    # with stream LENGTH (every epoch's superseded
-                    # delta + base files stay referenced by old
-                    # snapshots); expiry is anchored on the current
-                    # pointer, so it is safe under the stream's own
-                    # sequential commits
                     expire_snapshots(table, keep_last=expire_keep_last)
             except ConcurrentCommitError:
                 pass  # lost the race to another writer; next cadence

@@ -354,3 +354,10 @@ def test_string_encoded_positions_survive(spark, tmp_path):
     run(spark, cfg)
     rows = LakeTable(spark, cfg.table_dir).read().collect()
     assert len(rows) == 1 and rows[0]["content"] == "v-new"
+
+
+def test_import_empty_dump_raises_clearly(spark, tmp_path):
+    p = tmp_path / "empty.jsonl"
+    p.write_text("\n")
+    with pytest.raises(ValueError, match="no envelope events"):
+        import_to_log(spark, str(p), str(tmp_path / "log"))

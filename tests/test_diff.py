@@ -7,22 +7,27 @@ from plugin_debezium_spark.plans.diff import table_diff
 from plugin_debezium_spark.plans.lake import LakeTable
 from plugin_debezium_spark.sources.genlog import LogSpec, write_log
 from plugin_debezium_spark.streaming.engine import EngineConfig, run
-from tests.golden import read_log_pandas
+from tests.golden import golden_final_state, read_log_pandas
 
 SPEC = LogSpec(n_events=3_000, n_keys=400, n_snapshot=300, epoch_size=1_000)
 
 
 def _state_at(log: pd.DataFrame, hi: int) -> dict:
-    """Golden LWW state at lsn ≤ hi: key → winning lsn."""
-    cut = log[log["lsn"] <= hi].sort_values("lsn")
-    state: dict = {}
-    for r in cut.itertuples():
-        key = (r.key["repo"], r.key["path"], r.key["commit"])
-        if r.op == "d":
-            state.pop(key, None)
-        else:
-            state[key] = r.lsn
-    return state
+    """Golden LWW state at lsn ≤ hi via the canonical applier
+    (tests/golden.py — truncate-aware, single definition): key →
+    winning lsn."""
+    g = golden_final_state(
+        log[log["lsn"] <= hi].sort_values("lsn").reset_index(drop=True)
+    )
+    if g.empty:
+        return {}
+    # plain zip: itertuples mangles underscore-prefixed names (_lsn)
+    return {
+        (r, p, c): lsn
+        for r, p, c, lsn in zip(
+            g["repo"], g["path"], g["commit"], g["_lsn"], strict=True
+        )
+    }
 
 
 def test_table_diff_matches_golden_cutoffs(spark, tmp_path):
