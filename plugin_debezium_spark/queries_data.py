@@ -893,6 +893,65 @@ FROM s GROUP BY split ORDER BY split
 
 DATA_ORACLES["dedup_clusters_star"] = DATA_ORACLES["dedup_clusters"]
 
+def emb_dedup_clusters(spark, sf_dir):
+    """Semantic dedup end-to-end: embedding-cosine near-dup pairs
+    (hyperplane-LSH-bucketed exact cosine) → log-diameter star
+    components → one cluster id + representative per vector — the
+    composition an embedding-dedup pass runs at corpus scale (pairs
+    never all-pairs, rounds never diameter-bound). Oracle: the same
+    LSH buckets + a recursive-CTE transitive closure."""
+    from pyspark.sql import functions as F
+
+    from plugin_debezium_spark.operators.neardup import (
+        connected_components_star,
+    )
+    from plugin_debezium_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    e = _embs(spark, sf_dir)
+    pairs = cosine_neardup_pairs(
+        e, dim=_EMB_DIM, threshold=0.25, n_planes=4
+    ).select("id_a", "id_b")
+    cc = connected_components_star(pairs, nodes=e.select("vec_id"))
+    return cc.select(
+        F.col("id").alias("vec_id"),
+        "cluster",
+        (F.col("id") == F.col("cluster")).alias("is_rep"),
+    )
+
+
+DATA_ORACLES["emb_dedup_clusters"] = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1024) AS BIGINT)) AS q
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, ({_lsh_bucket_sql(_EMB_DIM, 4)}) AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE list_dot_product(a.v, c.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(c.v, c.v))) >= 0.25
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+walk(node, reach) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT w.node, e2.d FROM walk w JOIN edges e2 ON e2.s = w.reach
+)
+SELECT node AS vec_id, min(reach) AS cluster,
+       (node = min(reach)) AS is_rep
+FROM walk GROUP BY node
+"""
+
+
 DATA_QUERIES.update(
     {
         "text_fingerprint": text_fingerprint,
@@ -904,5 +963,6 @@ DATA_QUERIES.update(
         "multimodal_features": multimodal_features,
         "emb_ivf_assign": emb_ivf_assign,
         "connect_typed_decode": connect_typed_decode,
+        "emb_dedup_clusters": emb_dedup_clusters,
     }
 )
