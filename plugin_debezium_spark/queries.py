@@ -685,7 +685,12 @@ def cdc_resume_token_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = envelopes_from_value_json(
         wire, "_raw", order_token_field="resume_token"
     )
-    uniq = assign_unique_lsns(parsed, order_token=True, cache=False)
+    # guards skipped: bounds hold by construction (50-event bursts <
+    # 2^16 tie space; burst ts = lsn/50 < 2^47) — saves one full
+    # evaluation of the uncached wire chain
+    uniq = assign_unique_lsns(
+        parsed, order_token=True, cache=False, guards=False
+    )
     return _wire_final_state(uniq)
 
 

@@ -418,7 +418,10 @@ def typed_envelopes(
 
 
 def assign_unique_lsns(
-    env: DataFrame, order_token: bool = False, cache: bool = True
+    env: DataFrame,
+    order_token: bool = False,
+    cache: bool = True,
+    guards: bool = True,
 ) -> DataFrame:
     """Enforce the log contract: UNIQUE lsn per event. Debezium
     positions can collide (tx-shared postgres LSN, ts_ms fallback) —
@@ -438,7 +441,12 @@ def assign_unique_lsns(
     cache=True keeps the windowed frame cached for a downstream write
     (the import path); the caller unpersists via ``result._tie_cache``.
     cache=False recomputes the (deterministic) window per action —
-    right for one-shot queries that must not leak cache entries."""
+    right for one-shot queries that must not leak cache entries.
+
+    guards=False skips the driver-side guard action entirely (one full
+    evaluation of the input when uncached) — ONLY for callers that
+    have proven both bounds by construction (tie groups < 65536 and
+    positions < 2^47); the import path always guards."""
     from pyspark.sql.window import Window
 
     tie: list = [F.col("ts_ms")]
@@ -452,6 +460,12 @@ def assign_unique_lsns(
     if order_token:
         out = out.drop("_order_token")  # log schema stays fixed
     cached = out.cache() if cache else out
+    if not guards:
+        shifted = cached.withColumn(
+            "lsn", F.col("lsn") * F.lit(65536) + F.col("_rn")
+        ).drop("_rn")
+        shifted._tie_cache = cached if cache else None
+        return shifted
     guard = cached.agg(
         F.max("_rn").alias("max_rn"), F.max("lsn").alias("max_lsn")
     ).collect()[0]
