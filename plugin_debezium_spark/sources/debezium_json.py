@@ -345,9 +345,9 @@ def typed_envelopes(
     The parsed envelope frame is CACHED before the fan-out (the
     schema-version collect plus one filtered branch per version would
     otherwise re-run the text scan + wire parse V+2 times); the cache
-    entry stays pinned for the returned DataFrame's lifetime — callers
-    processing huge dumps repeatedly should write the result out and
-    drop it."""
+    entry stays pinned for the returned DataFrame's lifetime — after
+    materializing the result (write/collect), callers processing huge
+    dumps can release it via ``result._env_cache.unpersist()``."""
     import json as _json
     from functools import reduce
 
@@ -412,9 +412,11 @@ def typed_envelopes(
         for s in versions
     ]
     parts.append(env.filter(F.col("schema_json").isNull()))
-    return reduce(
+    out = reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
     )
+    out._env_cache = env  # release handle (see docstring)
+    return out
 
 
 def assign_unique_lsns(
