@@ -394,7 +394,19 @@ def connected_components_star(
     detected by an (edge-count, order-insensitive checksum) pair
     riding one tiny agg per round; lineage is cut per round like the
     label-propagation variant. Same output schema: (id, cluster),
-    singletons appended after the loop."""
+    singletons appended after the loop.
+
+    Storage-bound note: each generation's localCheckpoint blocks are
+    explicitly retired once the NEXT generation has been eagerly
+    materialized (the per-round ``_sig`` action), so at most two
+    generations live at once. A checkpointed RDD's lineage is
+    truncated — if an executor holding a RETIRED generation's blocks
+    is lost while a stage retry still references them, that retry
+    fails instead of recomputing (Spark's own warning). That window
+    is empty here because nothing re-reads a generation after its
+    successor's action completes; deployments with frequent executor
+    loss can trade memory for safety by letting the ContextCleaner
+    retire blocks instead (drop the ``_retire`` calls)."""
     sc = edges.sparkSession.sparkContext
 
     def _ckpt(df):

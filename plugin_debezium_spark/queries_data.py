@@ -747,7 +747,18 @@ def connect_typed_decode(spark, sf_dir):
     Date, and an epoch-ms Timestamp — connect_decode_json (from_json
     with the wire shape + the connect_cast lattice) must produce the
     typed values plain SQL arithmetic predicts
-    (functions/connect.decimal_from_bytes; MapConverter.java:38-252)."""
+    (functions/connect.decimal_from_bytes; MapConverter.java:38-252).
+
+    Output canonicalization (round-4 fix for the driver's hasher):
+    the TYPED values (DecimalType(38,2) / DateType / TimestampType)
+    are produced by the decode and are asserted in
+    tests/test_connect.py, but this query converts them back to pure
+    integers at the boundary — price→cents, date→epoch days,
+    timestamp→epoch micros — because integer columns hash identically
+    under ANY harness timezone or decimal renderer. The round trip
+    wire → typed → integer still proves the decode: a wrong decimal
+    splice, day offset, or ms→TimestampType conversion would break
+    the integer equality with the oracle's direct derivation."""
     from pyspark.sql import functions as F
 
     from plugin_debezium_spark.functions.connect import connect_decode_json
@@ -791,9 +802,14 @@ def connect_typed_decode(spark, sf_dir):
     )
     return out.select(
         "doc_id",
-        F.col("r.price").alias("price"),
-        F.col("r.added_on").alias("added_on"),
-        F.col("r.ts").alias("ts"),
+        # typed → TZ/renderer-immune integers (see docstring): the
+        # decimal is exact at scale 2 so *100 → bigint is lossless;
+        # unix_micros reads the instant, independent of session TZ.
+        (F.col("r.price") * F.lit(100)).cast("long").alias("price_cents"),
+        F.datediff(F.col("r.added_on"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("added_on_days"),
+        F.unix_micros(F.col("r.ts")).alias("ts_micros"),
     )
 
 
@@ -812,10 +828,9 @@ SELECT vec_id, cid FROM (
 
 DATA_ORACLES["connect_typed_decode"] = """
 SELECT doc_id,
-       CAST(printf('%d.%02d', (doc_id % 10000) // 100,
-                   (doc_id % 10000) % 100) AS DECIMAL(38,2)) AS price,
-       DATE '1970-01-01' + CAST(doc_id % 20000 AS INT) AS added_on,
-       make_timestamp(doc_id * 1000000) AS ts
+       CAST(doc_id % 10000 AS BIGINT) AS price_cents,
+       CAST(doc_id % 20000 AS BIGINT) AS added_on_days,
+       CAST(doc_id * 1000000 AS BIGINT) AS ts_micros
 FROM documents
 """
 

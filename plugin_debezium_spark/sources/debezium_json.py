@@ -390,7 +390,12 @@ def typed_envelopes(
         .collect()
     ]
     if not versions:
-        return env  # plain dump: nothing to type
+        # plain dump: nothing to type — still attach the documented
+        # release handle so result._env_cache.unpersist() works on
+        # every path (round-4 ADVICE fix: the early return used to
+        # leak the cache entry for the session)
+        env._env_cache = env
+        return env
 
     def _typed(part: DataFrame, schema_doc: dict) -> DataFrame:
         out = part
@@ -443,7 +448,10 @@ def assign_unique_lsns(
     cache=True keeps the windowed frame cached for a downstream write
     (the import path); the caller unpersists via ``result._tie_cache``.
     cache=False recomputes the (deterministic) window per action —
-    right for one-shot queries that must not leak cache entries.
+    right for one-shot queries that must not leak cache entries;
+    ``_tie_cache`` is still attached (the uncached frame, whose
+    ``unpersist()`` is a harmless no-op) so the release protocol is
+    valid on every path.
 
     guards=False skips the driver-side guard action entirely (one full
     evaluation of the input when uncached) — ONLY for callers that
@@ -466,7 +474,7 @@ def assign_unique_lsns(
         shifted = cached.withColumn(
             "lsn", F.col("lsn") * F.lit(65536) + F.col("_rn")
         ).drop("_rn")
-        shifted._tie_cache = cached if cache else None
+        shifted._tie_cache = cached  # uncached frame: unpersist is a no-op
         return shifted
     guard = cached.agg(
         F.max("_rn").alias("max_rn"), F.max("lsn").alias("max_lsn")
@@ -490,7 +498,7 @@ def assign_unique_lsns(
     shifted = cached.withColumn(
         "lsn", F.col("lsn") * F.lit(65536) + F.col("_rn")
     ).drop("_rn")
-    shifted._tie_cache = cached if cache else None
+    shifted._tie_cache = cached  # uncached frame: unpersist is a no-op
     return shifted
 
 
