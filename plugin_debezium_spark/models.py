@@ -64,12 +64,23 @@ def key_schema() -> T.StructType:
     return T.StructType([T.StructField(c, T.StringType(), True) for c in KEY_COLS])
 
 
+# Full provenance of the reference's Message.Source (Message.java:40-67):
+# version (connector version), name (the LOGICAL SERVER NAME —
+# the field multi-server deployments key on), sequence (opaque
+# commit-sequence token, e.g. postgres' JSON array of LSN strings),
+# row (snapshot row counter, Integer in the reference). New fields are
+# appended nullable + name-matched, so logs written before round 4
+# read as null under this schema.
 SOURCE_SCHEMA = T.StructType(
     [
         T.StructField("db", T.StringType(), True),
         T.StructField("table", T.StringType(), True),
         T.StructField("snapshot", T.StringType(), True),
         T.StructField("connector", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("version", T.StringType(), True),
+        T.StructField("sequence", T.StringType(), True),
+        T.StructField("row", T.IntegerType(), True),
     ]
 )
 

@@ -136,12 +136,25 @@ def lsh_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
     hyperplane bucket. Recall grows with fewer planes / multiprobe;
     cost drops ~2^n_planes-fold vs brute force. At 100 TB you'd
     partition the corpus table by bucket so a query reads one
-    partition."""
+    partition.
+
+    ``multiprobe=1`` additionally probes every Hamming-distance-1
+    bucket (each of the n_planes sign bits flipped once) — the
+    QUERY side fans out to n_planes+1 bucket keys (still tiny, still
+    broadcast; the corpus is never duplicated), recovering neighbors
+    that fell just across one hyperplane. Probe order is
+    deterministic (exact bucket, then bit 0..n_planes-1), so an
+    external oracle enumerates the identical probe set. Each
+    (query, neighbor) pair appears at most once: a corpus vector
+    lives in exactly one bucket and the probe buckets are distinct."""
+    if multiprobe not in (0, 1):
+        raise ValueError("multiprobe supports 0 (exact bucket) or 1 (±1 bit)")
     cb = hyperplane_signature(corpus, dim, n_planes, vec_col=vec_col)
     qb = hyperplane_signature(queries, dim, n_planes, vec_col=vec_col)
     q = qb.select(
@@ -150,6 +163,19 @@ def lsh_topk(
         F.expr(norm_expr(vec_col)).alias("qn"),
         F.col("bucket"),
     )
+    if multiprobe == 1:
+        q = q.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                        for j in range(n_planes)
+                    ],
+                )
+            ),
+        )
     c = cb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),

@@ -124,13 +124,20 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
     if not expired:
         return {"expired": 0, "data_files_deleted": 0}
     surviving = [sid for sid in table.snapshots() if sid not in expired]
-    referenced = {
-        f["path"] for sid in surviving for f in table.snapshot(sid).files
-    }
+    # manifest loads are independent object reads — thread-pool them
+    # like lake.py's manifest walks (a long-retention table holds
+    # O(snapshots) manifests; serial driver reads made expiry
+    # O(snapshots × RTT) — timing note in BENCH/BASELINE.md)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        survivors = list(ex.map(table.snapshot, surviving))
+        expired_snaps = list(ex.map(table.snapshot, sorted(expired)))
+    referenced = {f["path"] for s in survivors for f in s.files}
     doomed: list[str] = []
     seen: set[str] = set()
-    for sid in sorted(expired):
-        for f in table.snapshot(sid).files:
+    for s in expired_snaps:
+        for f in s.files:
             if f["path"] in referenced or f["path"] in seen:
                 continue
             seen.add(f["path"])

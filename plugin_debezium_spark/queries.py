@@ -497,6 +497,63 @@ def cdc_inline_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_deleted_policy_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — Deleted.NULL vs Deleted.ADD_FIELD end-to-end through the
+    INLINE shaper (round-4 item: NULL was pytest-only). NULL emits an
+    all-null row for deletes (ChangeConsumer.java:200-202 /
+    AbstractDebeziumTask.java:812-817); ADD_FIELD keeps the before
+    image and rides a deleted flag. Key fields are read from the KEY
+    struct (not the image) so delete rows stay addressable under the
+    NULL policy — both policies in one union, tagged by `policy`."""
+    from plugin_debezium_spark.operators.filters import Deleted
+    from plugin_debezium_spark.operators.shape import add_deleted, inline
+
+    env = envelopes_from_events(spark, sf_dir)
+    enveloped = env.select(
+        "lsn",
+        "ts_ms",
+        "op",
+        F.struct("repo", "path", "commit").alias("key"),
+        F.when(
+            F.col("op").isin("u", "d"),
+            F.struct(
+                "repo",
+                "path",
+                "commit",
+                "lang",
+                F.concat(F.lit("prev:"), F.col("content")).alias("content"),
+            ),
+        ).alias("before"),
+        F.when(
+            F.col("op") != "d",
+            F.struct("repo", "path", "commit", "lang", "content"),
+        ).alias("after"),
+        F.struct(
+            F.lit("kestra").alias("db"),
+            F.lit("repofiles").alias("table"),
+            F.lit("false").alias("snapshot"),
+            F.lit("x").alias("connector"),
+        ).alias("source"),
+    )
+
+    def _shaped(policy: Deleted, tag: str) -> DataFrame:
+        return add_deleted(inline(enveloped, policy)).select(
+            F.lit(tag).alias("policy"),
+            F.col("key.repo").alias("k_repo"),
+            F.col("key.path").alias("k_path"),
+            F.col("key.commit").alias("k_commit"),
+            "lang",
+            "content",
+            "deleted",
+            "op",
+            "lsn",
+        )
+
+    return _shaped(Deleted.NULL, "null").unionByName(
+        _shaped(Deleted.ADD_FIELD, "add_field")
+    )
+
+
 def cdc_metadata_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 — metadata packing incl. the transaction block
     (ChangeConsumer.java:282-308, Envelope.java:36-37) and an open
@@ -510,6 +567,16 @@ def cdc_metadata_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("repofiles").alias("table"),
                 F.lit("false").alias("snapshot"),
                 F.lit("x").alias("connector"),
+                # logical server name varies per-row so the oracle
+                # proves it rides the packed metadata intact
+                # (Message.java:40-67, round-4 provenance fields)
+                F.concat(
+                    F.lit("server-"),
+                    F.pmod(F.col("lsn"), F.lit(2)).cast("string"),
+                ).alias("name"),
+                F.lit("2.7.0.Final").alias("version"),
+                F.lit(None).cast("string").alias("sequence"),
+                F.lit(None).cast("int").alias("row"),
             ),
         )
         .withColumn(
@@ -538,6 +605,8 @@ def cdc_metadata_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("metadata.timestamp").alias("timestamp"),
         F.col("metadata.lsn").alias("lsn"),
         F.col("metadata.source.table").alias("src_table"),
+        F.col("metadata.source.name").alias("src_name"),
+        F.col("metadata.source.version").alias("src_version"),
         F.col("metadata.transaction.id").alias("tx_id"),
         F.col("metadata.transaction.total_order").alias("tx_order"),
         F.col("metadata.stream_tag").alias("stream_tag"),
@@ -834,10 +903,26 @@ SELECT repo, path, commit,
        op, lsn
 FROM env
 """,
+    "cdc_deleted_policy_shape": f"""
+WITH {ENV_SQL}
+SELECT 'null' AS policy, repo AS k_repo, path AS k_path,
+       commit AS k_commit,
+       CASE WHEN op = 'd' THEN NULL ELSE lang END AS lang,
+       CASE WHEN op = 'd' THEN NULL ELSE content END AS content,
+       (op IN ('d','t')) AS deleted, op, lsn
+FROM env
+UNION ALL
+SELECT 'add_field', repo, path, commit, lang,
+       CASE WHEN op = 'd' THEN 'prev:' || content ELSE content END,
+       (op IN ('d','t')), op, lsn
+FROM env
+""",
     "cdc_metadata_shape": f"""
 WITH {ENV_SQL}
 SELECT repo, path, commit, op AS operation, ts_ms AS timestamp, lsn,
        'repofiles' AS src_table,
+       'server-' || CAST(lsn % 2 AS VARCHAR) AS src_name,
+       '2.7.0.Final' AS src_version,
        'tx' || CAST(lsn // 10 AS VARCHAR) AS tx_id,
        CAST(lsn % 10 + 1 AS BIGINT) AS tx_order,
        'cdc' AS stream_tag
@@ -959,6 +1044,7 @@ QUERIES = {
     "cdc_add_deleted_counts": cdc_add_deleted_counts,
     "cdc_route_counts": cdc_route_counts,
     "cdc_inline_shape": cdc_inline_shape,
+    "cdc_deleted_policy_shape": cdc_deleted_policy_shape,
     "cdc_metadata_shape": cdc_metadata_shape,
     "cdc_include_exclude": cdc_include_exclude,
     "cdc_snapshot_union": cdc_snapshot_union,

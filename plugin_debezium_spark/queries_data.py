@@ -277,6 +277,29 @@ def emb_topk_lsh(spark, sf_dir):
     ).select("query_id", "rank", "neighbor_id")
 
 
+def emb_topk_lsh_multiprobe(spark, sf_dir):
+    """LSH ANN with ±1-bit multiprobe (round-4 item: the recall knob
+    the lsh_topk docstring promises). Query buckets fan out to the
+    exact bucket plus every single-bit flip — deterministic probe
+    order, so the oracle enumerates the identical probe set with
+    xor(). Recall vs brute force is strictly higher than the
+    single-bucket variant on this fixture (asserted in
+    tests/test_dataops.py)."""
+    from plugin_debezium_spark.operators.similarity import lsh_topk
+
+    e = _embs(spark, sf_dir)
+    dim = len(e.select("embedding").first()[0])
+    assert dim == _EMB_DIM, f"oracle is generated for dim={_EMB_DIM}"
+    return lsh_topk(
+        e.filter(F.col("vec_id") >= 5),
+        e.filter(F.col("vec_id") < 5),
+        dim=dim,
+        k=3,
+        n_planes=4,
+        multiprobe=1,
+    ).select("query_id", "rank", "neighbor_id")
+
+
 def emb_neardup_pairs_exact(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, exact all-pairs variant
     (the LSH-bucketed scale path is emb_topk_lsh / cosine_neardup_pairs).
@@ -647,6 +670,36 @@ ranked AS (
 SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
 """
 
+DATA_ORACLES["emb_topk_lsh_multiprobe"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1024) AS BIGINT)) AS q
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, ({_lsh_bucket_sql(_EMB_DIM, 4)}) AS bucket FROM e),
+qs AS (
+  SELECT vec_id AS query_id, v AS qv,
+         unnest([bucket,
+                 xor(bucket, 1), xor(bucket, 2),
+                 xor(bucket, 4), xor(bucket, 8)]) AS bucket
+  FROM b WHERE vec_id < 5),
+cs AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b WHERE vec_id >= 5),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM cs JOIN qs USING (bucket)
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
+"""
+
 # text_lang_id oracle: argmax over struct list (score, tie, lang) —
 # identical tie semantics to functions.text.lang_id
 _langs = sorted(LANG_MARKERS)
@@ -972,6 +1025,7 @@ DATA_QUERIES.update(
         "text_fingerprint": text_fingerprint,
         "emb_topk_bruteforce": emb_topk_bruteforce,
         "emb_topk_lsh": emb_topk_lsh,
+        "emb_topk_lsh_multiprobe": emb_topk_lsh_multiprobe,
         "emb_topk_ivf": emb_topk_ivf,
         "emb_neardup_pairs_exact": emb_neardup_pairs_exact,
         "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,

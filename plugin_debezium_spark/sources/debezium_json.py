@@ -187,7 +187,13 @@ def envelopes_from_value_json(
     # of failing the whole import under ANSI.
     src_types: dict[str, T.DataType] = {
         f: T.StringType()
-        for f in ("db", "table", "collection", "snapshot", "connector", "file")
+        for f in (
+            "db", "table", "collection", "snapshot", "connector", "file",
+            # provenance (Message.java:40-67): logical server name,
+            # connector version, opaque sequence token, snapshot row
+            # counter — all read as text, `row` try_cast after
+            "name", "version", "sequence", "row",
+        )
     }
     for f in lsn_fields:
         src_types.setdefault(f, T.StringType())
@@ -274,6 +280,13 @@ def envelopes_from_value_json(
             "snapshot"
         ),
         e["source"]["connector"].alias("connector"),
+        # provenance passthrough (Message.java:40-67) — `name` is the
+        # logical server name multi-server deployments key on; kept
+        # verbatim so P6 metadata packs the full reference source
+        e["source"]["name"].alias("name"),
+        e["source"]["version"].alias("version"),
+        e["source"]["sequence"].alias("sequence"),
+        e["source"]["row"].try_cast("int").alias("row"),
     )
     # Non-envelope messages (no `op`): schema-change/DDL notifications
     # with an open-schema body (Message.java:24-36 @JsonAnySetter).

@@ -205,6 +205,13 @@ def build_log(spark: SparkSession, spec: LogSpec = LogSpec()) -> DataFrame:
         F.lit("repofiles").alias("table"),
         F.when(snap, F.lit("true")).otherwise(F.lit("false")).alias("snapshot"),
         F.lit("synthetic-wal").alias("connector"),
+        # provenance (Message.java:40-67): two logical server names so
+        # multi-server round-trips are testable; snapshot reads carry
+        # a row counter like Debezium's snapshot source block
+        F.concat(F.lit("server-"), F.pmod(F.col("lsn"), F.lit(2)).cast("string")).alias("name"),
+        F.lit("2.7.0.Final").alias("version"),
+        F.lit(None).cast("string").alias("sequence"),
+        F.when(snap, F.col("lsn").cast("int")).alias("row"),
     )
 
     null_s = F.lit(None).cast("string")

@@ -735,7 +735,20 @@ def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
         "NO_DATA",
     ):
         # these need a live server/schema topic to differ; with a
-        # lake-resident log they degenerate to INITIAL (documented)
+        # lake-resident log they degenerate to INITIAL. Warn VISIBLY
+        # (round-4 item: a user porting a RECOVERY flow gets different
+        # behavior — a silent comment is not enough).
+        import warnings
+
+        warnings.warn(
+            f"snapshot_mode={mode} needs a live database server or "
+            "schema-history topic to differ from INITIAL; with a "
+            "lake-resident change log it degenerates to INITIAL "
+            "(full snapshot phase, then stream). Reference modes: "
+            "MysqlInterface.java:43-53.",
+            UserWarning,
+            stacklevel=2,
+        )
         mode = "INITIAL"
 
     applied: list = []

@@ -121,6 +121,34 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark):
     assert len(out) > 0
 
 
+def test_lsh_multiprobe_recall_beats_single_bucket(spark):
+    """±1-bit multiprobe (round 4): probing every Hamming-distance-1
+    bucket recovers neighbors that fell just across one hyperplane —
+    recall vs brute force must be >= single-bucket, and on the driver
+    fixture it is strictly higher (2/15 → 4/15 at sf0.001)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    queries = e.filter(F.col("vec_id") < 5)
+    gold = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(corpus, queries, k=3).collect()
+    }
+
+    def recall(mp):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(
+                corpus, queries, dim=64, k=3, n_planes=4, multiprobe=mp
+            ).collect()
+        }
+        return len(got & gold)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 > r0, f"multiprobe recall {r1} not above single-bucket {r0}"
+    with pytest.raises(ValueError, match="multiprobe"):
+        lsh_topk(corpus, queries, dim=64, multiprobe=2)
+
+
 def test_cosine_neardup_pairs(spark):
     pdf = pd.DataFrame(
         {

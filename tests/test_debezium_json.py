@@ -361,3 +361,43 @@ def test_import_empty_dump_raises_clearly(spark, tmp_path):
     p.write_text("\n")
     with pytest.raises(ValueError, match="no envelope events"):
         import_to_log(spark, str(p), str(tmp_path / "log"))
+
+
+def test_multi_server_provenance_round_trips(spark, tmp_path):
+    """Round-4 provenance fields (Message.java:40-67): the logical
+    server name (`source.name`), connector `version`, opaque
+    `sequence`, and snapshot `row` counter survive the wire adapter
+    verbatim — the field multi-server deployments key on."""
+    k = {"repo": "org/a", "path": "x.py", "commit": "c1"}
+
+    def _line(lsn, name, seq=None, row=None):
+        doc = json.loads(_value("c", lsn, k, f"v{lsn}"))
+        src = doc["payload"]["source"]
+        src["name"] = name
+        if seq is not None:
+            src["sequence"] = seq
+        if row is not None:
+            src["row"] = row
+        return json.dumps(doc)
+
+    p = tmp_path / "multi.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                _line(1, "pg-east", seq='["100","101"]', row=7),
+                _line(2, "pg-west"),
+                _line(3, None),  # name absent → null, not a crash
+            ]
+        )
+        + "\n"
+    )
+    env = envelopes_from_value_json(
+        spark.read.text(str(p)).withColumnRenamed("value", "_raw"), "_raw"
+    )
+    rows = {r["lsn"]: r["source"] for r in env.collect()}
+    assert rows[1]["name"] == "pg-east"
+    assert rows[1]["sequence"] == '["100","101"]'
+    assert rows[1]["row"] == 7
+    assert rows[1]["version"] == "3.3.1.Final"
+    assert rows[2]["name"] == "pg-west" and rows[2]["sequence"] is None
+    assert rows[3]["name"] is None

@@ -425,6 +425,28 @@ def test_snapshot_mode_initial_only_stops_after_snapshot(
     assert _final_hashes(spark, table_dir) == golden_key_hashes(log_pdf)
 
 
+def test_degenerate_snapshot_modes_warn_and_run_as_initial(
+    spark, log_dir, tmp_path
+):
+    """WHEN_NEEDED/RECOVERY/... need a live server — with a
+    lake-resident log they run as INITIAL, and since round 4 that
+    degeneration warns visibly instead of silently differing from
+    what a ported RECOVERY flow expects."""
+    table_dir = str(tmp_path / "tbl")
+    with pytest.warns(UserWarning, match="degenerates to INITIAL"):
+        run(
+            spark,
+            EngineConfig(
+                log_dir=log_dir,
+                table_dir=table_dir,
+                max_events_per_batch=1_000,
+                snapshot_mode="WHEN_NEEDED",
+            ),
+        )
+    golden = golden_key_hashes(read_log_pandas(log_dir))
+    assert _final_hashes(spark, table_dir) == golden
+
+
 def test_snapshot_mode_always_resnapshots_without_regression(
     spark, log_dir, tmp_path
 ):
