@@ -554,6 +554,111 @@ def cdc_deleted_policy_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_wrap_key_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 WRAP + P5 addKey(merge) + P4 addDeleted end-to-end (round-4:
+    both were pytest-only). WRAP nests the chosen image under
+    ``record`` (ChangeConsumer.java:237-248); addKey merges the
+    primary-key fields back to top level (ChangeConsumer.java:276-280)
+    so delete rows — whose record carries the before image — stay
+    addressable next to the wrapped payload. Flattened for the
+    oracle: record fields as r_*, merged key fields bare."""
+    from plugin_debezium_spark.operators.shape import (
+        add_deleted,
+        add_key,
+        wrap,
+    )
+
+    env = envelopes_from_events(spark, sf_dir)
+    enveloped = env.select(
+        "lsn",
+        "ts_ms",
+        "op",
+        F.struct("repo", "path", "commit").alias("key"),
+        F.when(
+            F.col("op").isin("u", "d"),
+            F.struct(
+                "repo",
+                "path",
+                "commit",
+                "lang",
+                F.concat(F.lit("prev:"), F.col("content")).alias("content"),
+            ),
+        ).alias("before"),
+        F.when(
+            F.col("op") != "d",
+            F.struct("repo", "path", "commit", "lang", "content"),
+        ).alias("after"),
+        F.struct(
+            F.lit("kestra").alias("db"),
+            F.lit("repofiles").alias("table"),
+            F.lit("false").alias("snapshot"),
+            F.lit("x").alias("connector"),
+        ).alias("source"),
+    )
+    shaped = add_key(add_deleted(wrap(enveloped)))
+    return shaped.select(
+        F.col("record.lang").alias("r_lang"),
+        F.col("record.content").alias("r_content"),
+        "repo",
+        "path",
+        "commit",
+        "op",
+        "deleted",
+        "lsn",
+    )
+
+
+def cdc_raw_message_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 RAW + F4 Message passthrough end-to-end (round-4: both were
+    pytest-only). Every 50th event becomes a non-envelope op='m'
+    message (a DDL notice) whose open-schema body rides
+    ``message_json`` untouched — the RAW + ignoreDdl=false delivery
+    path (ChangeConsumer.java:205-223, Message.java:24-36); data rows
+    keep their images. Flattened: key fields + the RAW value's op /
+    lsn / message body / after-content."""
+    from plugin_debezium_spark.operators.shape import raw
+
+    env = envelopes_from_events(spark, sf_dir)
+    is_msg = F.pmod(F.col("lsn"), F.lit(50)) == 0
+    enveloped = env.select(
+        "lsn",
+        "ts_ms",
+        F.when(is_msg, F.lit("m")).otherwise(F.col("op")).alias("op"),
+        F.struct("repo", "path", "commit").alias("key"),
+        F.lit(None)
+        .cast("struct<repo:string,path:string,commit:string>")
+        .alias("before"),
+        F.when(
+            ~is_msg & (F.col("op") != "d"),
+            F.struct("repo", "path", "commit", "lang", "content"),
+        ).alias("after"),
+        F.struct(
+            F.lit("kestra").alias("db"),
+            F.lit("repofiles").alias("table"),
+            F.lit("false").alias("snapshot"),
+            F.lit("x").alias("connector"),
+        ).alias("source"),
+        F.when(
+            is_msg,
+            F.concat(
+                F.lit('{"ddl":"ALTER TABLE repofiles -- note '),
+                F.col("lsn").cast("string"),
+                F.lit('"}'),
+            ),
+        ).alias("message_json"),
+    )
+    r = raw(enveloped)
+    return r.select(
+        F.col("key.repo").alias("k_repo"),
+        F.col("key.path").alias("k_path"),
+        F.col("key.commit").alias("k_commit"),
+        F.col("value.op").alias("op"),
+        F.col("value.lsn").alias("lsn"),
+        F.col("value.message_json").alias("message_json"),
+        F.col("value.after.content").alias("content"),
+    )
+
+
 def cdc_metadata_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 — metadata packing incl. the transaction block
     (ChangeConsumer.java:282-308, Envelope.java:36-37) and an open
@@ -917,6 +1022,26 @@ SELECT 'add_field', repo, path, commit, lang,
        (op IN ('d','t')), op, lsn
 FROM env
 """,
+    "cdc_wrap_key_shape": f"""
+WITH {ENV_SQL}
+SELECT lang AS r_lang,
+       CASE WHEN op = 'd' THEN 'prev:' || content ELSE content END
+         AS r_content,
+       repo, path, commit, op, (op IN ('d','t')) AS deleted, lsn
+FROM env
+""",
+    "cdc_raw_message_shape": f"""
+WITH {ENV_SQL}
+SELECT repo AS k_repo, path AS k_path, commit AS k_commit,
+       CASE WHEN lsn % 50 = 0 THEN 'm' ELSE op END AS op,
+       lsn,
+       CASE WHEN lsn % 50 = 0 THEN
+         '{{"ddl":"ALTER TABLE repofiles -- note ' || CAST(lsn AS VARCHAR)
+           || '"}}'
+       END AS message_json,
+       CASE WHEN lsn % 50 <> 0 AND op <> 'd' THEN content END AS content
+FROM env
+""",
     "cdc_metadata_shape": f"""
 WITH {ENV_SQL}
 SELECT repo, path, commit, op AS operation, ts_ms AS timestamp, lsn,
@@ -1045,6 +1170,8 @@ QUERIES = {
     "cdc_route_counts": cdc_route_counts,
     "cdc_inline_shape": cdc_inline_shape,
     "cdc_deleted_policy_shape": cdc_deleted_policy_shape,
+    "cdc_wrap_key_shape": cdc_wrap_key_shape,
+    "cdc_raw_message_shape": cdc_raw_message_shape,
     "cdc_metadata_shape": cdc_metadata_shape,
     "cdc_include_exclude": cdc_include_exclude,
     "cdc_snapshot_union": cdc_snapshot_union,
