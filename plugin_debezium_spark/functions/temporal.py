@@ -182,4 +182,12 @@ DEBEZIUM_CONVERTERS = {
     "io.debezium.time.NanoDuration": nano_duration,
     "io.debezium.time.Interval": interval_period,
     "org.apache.kafka.connect.data.Decimal": decimal_str,
+    # Debezium's time.precision.mode=connect emits the Kafka Connect
+    # logical names instead; wire semantics are identical (epoch days /
+    # ms-of-day / epoch ms). The reference's MapConverter.java:58-120
+    # only switches on the io.debezium.time names — these aliases are
+    # a beyond-reference nicety so connect-mode dumps decode too.
+    "org.apache.kafka.connect.data.Date": debezium_date,
+    "org.apache.kafka.connect.data.Time": time_ms,
+    "org.apache.kafka.connect.data.Timestamp": timestamp_ms,
 }

@@ -47,16 +47,51 @@ def dot_over_norms(a: str, b: str, norm_a: str, norm_b: str) -> str:
     return f"{DOT.format(a=_dcol(a), b=_dcol(b))} / ({norm_a} * {norm_b})"
 
 
+def cosine_pandas_udf():
+    """Vectorized cosine over two array columns: one numpy matmul per
+    Arrow batch instead of the interpreted higher-order aggregate.
+    ~10-100x the per-row throughput of the SQL expression on wide
+    vectors — the ``impl="numpy"`` hot path. Floating-point summation
+    order differs from the SQL expression's strict left-to-right
+    fold, so near-tie ranks can flip in the last ulp: use the SQL
+    path when bit-exact cross-engine reproducibility matters (driver
+    oracles), numpy when throughput does. Must be constructed lazily
+    (pandas_udf needs an active session)."""
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        return pd.Series(
+            dots
+            / (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1))
+        )
+
+    return _cos
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "sql",
 ) -> DataFrame:
     """Exact cosine top-k per query. queries must be small (it is
     broadcast); the corpus is scanned once, no shuffle until the
-    per-query top-k (tiny after the filter)."""
+    per-query top-k (tiny after the filter).
+
+    impl="numpy": mapInPandas scores each Arrow batch against the
+    whole query matrix in ONE numpy matmul and emits only the batch's
+    local top-k per query — the shuffle carries n_batches x queries x
+    k candidate rows instead of corpus x queries scored rows, and no
+    join expansion ever materializes. The final window merges the
+    partial top-ks. Same results as the SQL path up to float-sum
+    ordering on exact cosine ties (see cosine_pandas_udf)."""
+    if impl == "numpy":
+        return _brute_force_topk_numpy(corpus, queries, k, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -77,6 +112,104 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _brute_force_topk_numpy(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    if not rows:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cosine double"
+        )
+    qids = [r[0] for r in rows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    Qn = np.linalg.norm(Q, axis=1)
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    nid_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"query_id {qid_type}, neighbor_id {nid_type}, cosine double"
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cos = (M @ Q.T) / (
+                np.linalg.norm(M, axis=1)[:, None] * Qn[None, :]
+            )
+            ids = pdf[id_col].to_numpy()
+            kk = min(k, len(ids))
+            out = {"query_id": [], "neighbor_id": [], "cosine": []}
+            for j, qid in enumerate(qids):
+                col = cos[:, j]
+                # local top-k of this batch: partial-select then exact
+                # (-cos, id) order — ties resolve identically to the
+                # final merge window
+                cand = np.argpartition(-col, kk - 1)[:kk]
+                cand = cand[np.lexsort((ids[cand], -col[cand]))]
+                out["query_id"].extend([qid] * len(cand))
+                out["neighbor_id"].extend(ids[cand])
+                out["cosine"].extend(col[cand])
+            yield pd.DataFrame(out)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(_score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _ivf_assign_numpy(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_lists: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    rows = centroids.select("cid", "centroid").orderBy("cid").collect()
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    Cn = np.linalg.norm(C, axis=1)
+
+    if n_lists == 1:
+
+        @pandas_udf("long")
+        def _argmax(v: pd.Series) -> pd.Series:
+            M = np.stack(v.to_numpy()).astype(np.float64)
+            cos = (M @ C.T) / (np.linalg.norm(M, axis=1)[:, None] * Cn[None, :])
+            # centroids sorted by cid: argmax's first-max rule IS the
+            # (max cosine, min cid) tie rule
+            return pd.Series(cids[np.argmax(cos, axis=1)])
+
+        keep = [c for c in df.columns if c != id_col]
+        return df.withColumn("cid", _argmax(F.col(vec_col))).select(
+            id_col, *keep, "cid"
+        )
+
+    @pandas_udf("array<long>")
+    def _topn(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        cos = (M @ C.T) / (np.linalg.norm(M, axis=1)[:, None] * Cn[None, :])
+        out = []
+        for row in cos:
+            order = np.lexsort((cids, -row))[:n_lists]
+            out.append(cids[order])
+        return pd.Series(out)
+
+    return df.withColumn("_cids", _topn(F.col(vec_col))).select(
+        *df.columns, F.explode("_cids").alias("cid")
     )
 
 
@@ -201,6 +334,7 @@ def ivf_assign(
     n_lists: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "sql",
 ) -> DataFrame:
     """Assign each vector to its n_lists nearest centroids by cosine
     (IVF coarse quantizer). Centroids are a SMALL DataFrame
@@ -213,7 +347,16 @@ def ivf_assign(
     lookup table; any deterministic centroid set works for the
     mechanism. Dot products use the JVM aggregate expression (strict
     left-to-right summation) so an external oracle reproduces the
-    argmax bit-for-bit — numpy matmul would not guarantee order."""
+    argmax bit-for-bit — numpy matmul would not guarantee order.
+
+    impl="numpy": one matmul per Arrow batch against the broadcast
+    centroid matrix — the corpus is NEVER joined/expanded by
+    n_centroids, so shuffle volume is zero and the scoring loop is
+    vectorized. The throughput path for corpus-scale assignment;
+    ranks can differ from the SQL path only on exact-cosine float
+    ties (see cosine_pandas_udf)."""
+    if impl == "numpy":
+        return _ivf_assign_numpy(df, centroids, n_lists, id_col, vec_col)
     c = centroids.select(
         F.col("cid"),
         F.col("centroid").alias("_cvec"),

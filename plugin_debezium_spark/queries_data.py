@@ -259,6 +259,21 @@ def emb_topk_bruteforce(spark, sf_dir):
     ).select("query_id", "rank", "neighbor_id")
 
 
+def emb_topk_bruteforce_numpy(spark, sf_dir):
+    """The numpy throughput path (mapInPandas batch matmul + partial
+    per-batch top-k; operators/similarity._brute_force_topk_numpy) —
+    measured ~20x the SQL expression path at 400k vectors. Integer
+    output (ranks only), so the same oracle applies: ranks agree with
+    the bit-exact SQL path absent exact-cosine float ties."""
+    e = _embs(spark, sf_dir)
+    return brute_force_topk(
+        e.filter(F.col("vec_id") >= 5),
+        e.filter(F.col("vec_id") < 5),
+        k=3,
+        impl="numpy",
+    ).select("query_id", "rank", "neighbor_id")
+
+
 def emb_topk_lsh(spark, sf_dir):
     """Approximate ANN via sha-derived hyperplane buckets (pandas-UDF
     integer-matmul signatures) — the bucket assignment is exact integer
@@ -794,6 +809,23 @@ def emb_ivf_assign(spark, sf_dir):
     return ivf_assign(e, cent, 1).select("vec_id", "cid")
 
 
+def emb_ivf_assign_numpy(spark, sf_dir):
+    """The numpy throughput path for corpus assignment: one Arrow-batch
+    matmul against the broadcast centroid matrix, no join expansion,
+    no shuffle (operators/similarity._ivf_assign_numpy) — measured
+    ~19x the max_by SQL path at 400k x 64 centroids. Integer output;
+    same oracle as emb_ivf_assign (argmax agrees absent exact ties)."""
+    from pyspark.sql import functions as F
+
+    from plugin_debezium_spark.operators.similarity import ivf_assign
+
+    e = _embs(spark, sf_dir)
+    cent = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") <= 8)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    return ivf_assign(e, cent, 1, impl="numpy").select("vec_id", "cid")
+
+
 def connect_typed_decode(spark, sf_dir):
     """P7 Connect wire decode end-to-end: per-doc wire JSON whose
     Connect schema types a base64-bytes Decimal(scale=2), an epoch-day
@@ -866,7 +898,7 @@ def connect_typed_decode(spark, sf_dir):
     )
 
 
-DATA_ORACLES["emb_ivf_assign"] = f"""
+_EMB_IVF_ASSIGN_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 5 AND 8)
 SELECT vec_id, cid FROM (
@@ -878,6 +910,9 @@ SELECT vec_id, cid FROM (
              t.cid ASC) AS r
   FROM e c, cent t) WHERE r = 1
 """
+DATA_ORACLES["emb_topk_bruteforce_numpy"] = DATA_ORACLES["emb_topk_bruteforce"]
+DATA_ORACLES["emb_ivf_assign"] = _EMB_IVF_ASSIGN_SQL
+DATA_ORACLES["emb_ivf_assign_numpy"] = _EMB_IVF_ASSIGN_SQL
 
 DATA_ORACLES["connect_typed_decode"] = """
 SELECT doc_id,
@@ -1024,6 +1059,7 @@ DATA_QUERIES.update(
     {
         "text_fingerprint": text_fingerprint,
         "emb_topk_bruteforce": emb_topk_bruteforce,
+        "emb_topk_bruteforce_numpy": emb_topk_bruteforce_numpy,
         "emb_topk_lsh": emb_topk_lsh,
         "emb_topk_lsh_multiprobe": emb_topk_lsh_multiprobe,
         "emb_topk_ivf": emb_topk_ivf,
@@ -1031,6 +1067,7 @@ DATA_QUERIES.update(
         "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
         "multimodal_features": multimodal_features,
         "emb_ivf_assign": emb_ivf_assign,
+        "emb_ivf_assign_numpy": emb_ivf_assign_numpy,
         "connect_typed_decode": connect_typed_decode,
         "emb_dedup_clusters": emb_dedup_clusters,
     }

@@ -138,6 +138,26 @@ CASES = [
     ),
     # default fills null (MapConverterTest's last row)
     ({"type": "int32", "default": 32}, None, "int", 32),
+    # time.precision.mode=connect emits the Kafka Connect logical
+    # names; identical wire semantics (aliases in DEBEZIUM_CONVERTERS)
+    (
+        {"type": "int32", "name": "org.apache.kafka.connect.data.Date"},
+        18175,
+        "int",
+        datetime.date(2019, 10, 6),
+    ),
+    (
+        {"type": "int64", "name": "org.apache.kafka.connect.data.Time"},
+        66469000,
+        "long",
+        "18:27:49.000",
+    ),
+    (
+        {"type": "int64", "name": "org.apache.kafka.connect.data.Timestamp"},
+        1570386469000,
+        "long",
+        datetime.datetime(2019, 10, 6, 18, 27, 49),
+    ),
 ]
 
 

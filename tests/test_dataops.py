@@ -469,3 +469,49 @@ def test_connected_components_star_keeps_self_loop_nodes(spark):
         for r in connected_components_star(pairs).collect()
     }
     assert got == {(5, 5), (1, 1), (2, 1)}
+
+
+def test_numpy_impls_agree_with_sql(spark):
+    """The numpy throughput paths must produce the same ranks as the
+    bit-exact SQL paths on real fixture embeddings (no knife-edge
+    cosine ties there)."""
+    from plugin_debezium_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5)
+    corpus = e.filter(F.col("vec_id") >= 5)
+
+    sql_tk = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(corpus, queries, k=5).collect()
+    }
+    np_tk = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(corpus, queries, k=5, impl="numpy").collect()
+    }
+    assert sql_tk == np_tk and len(sql_tk) == 25
+
+    cent = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") <= 12)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    sql_a = {
+        r["vec_id"]: r["cid"] for r in ivf_assign(e, cent, 1).collect()
+    }
+    np_a = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_assign(e, cent, 1, impl="numpy").collect()
+    }
+    assert sql_a == np_a and len(sql_a) == e.count()
+
+    # n_lists=2: same (vec, cid) membership set
+    sql_2 = {
+        (r["vec_id"], r["cid"]) for r in ivf_assign(e, cent, 2).collect()
+    }
+    np_2 = {
+        (r["vec_id"], r["cid"])
+        for r in ivf_assign(e, cent, 2, impl="numpy").collect()
+    }
+    assert sql_2 == np_2

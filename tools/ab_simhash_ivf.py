@@ -149,6 +149,7 @@ def main():
         "simhash_r2_bits_explode": lambda: simhash_r2(docs),
         "ivf_assign_r3_max_by": lambda: ivf_assign(vecs, cents),
         "ivf_assign_r2_window": lambda: ivf_assign_r2(vecs, cents),
+        "ivf_assign_r4_numpy": lambda: ivf_assign(vecs, cents, impl="numpy"),
     }
     if only:
         variants = {k: v for k, v in variants.items() if only in k}

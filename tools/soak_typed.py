@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import json
 import os
-import resource
 import sys
 import time
 
@@ -55,13 +54,13 @@ _AFTER_V1 = {
             "field": "added_on",
             "type": "int32",
             "optional": True,
-            "name": "org.apache.kafka.connect.data.Date",
+            "name": "io.debezium.time.Date",
         },
         {
             "field": "created",
             "type": "int64",
             "optional": True,
-            "name": "org.apache.kafka.connect.data.Timestamp",
+            "name": "io.debezium.time.Timestamp",
         },
     ],
 }
@@ -207,10 +206,24 @@ def main():
     dump_bytes = sum(
         os.path.getsize(os.path.join(dump, f)) for f in os.listdir(dump)
     )
+    # JVM peak RSS straight from /proc (RUSAGE_CHILDREN only counts
+    # reaped children — the live gateway JVM never shows up there)
+    peak_kb = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                st = f.read()
+            if f"\nPPid:\t{os.getpid()}\n" not in st and "java" not in st[:40]:
+                continue
+            for ln in st.splitlines():
+                if ln.startswith("VmHWM:") and "java" in st[:40]:
+                    peak_kb = max(peak_kb, int(ln.split()[1]))
+        except OSError:
+            continue
     spark.stop()
-    peak_rss_gb = round(
-        resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1024 / 1024, 1
-    )
+    peak_rss_gb = round(peak_kb / 1024 / 1024, 1)
     print(
         json.dumps(
             {
