@@ -252,9 +252,20 @@ def main() -> None:
     # healthy round reaches the best-of
     extras = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "3"))
     replay = {}
+    def _wait_healthy(max_wait_s: int) -> None:
+        """Gate an attempt on a live fresh-page probe: don't start a
+        measured replay while the host is in a degraded window."""
+        t0 = time.time()
+        while time.time() - t0 < max_wait_s:
+            if _membw_gbps(64) >= 1.0:
+                return
+            time.sleep(45)
+
+    gate_s = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "300"))
     for attempt in range(runs + extras):
         healthy = True
         for cores in SCALING_CORES:
+            _wait_healthy(gate_s)
             r = _run_worker(log_dir, cores, batch)
             r["events_per_sec"] = round(BENCH_EVENTS / r["wall_s"], 1)
             if (r.get("canary_s") or 9.9) > 1.0 or (
@@ -266,6 +277,12 @@ def main() -> None:
                 replay[key] = r
         if attempt >= runs - 1 and healthy:
             break
+        if not healthy and attempt < runs + extras - 1:
+            # degraded rounds track a host-side page-backing budget the
+            # replay itself drains (r4d: every local[16] attempt ran
+            # membw 0.04 GB/s back-to-back while local[4] stayed at
+            # 2.3) — idle so the budget refills before retrying
+            time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "180")))
     lo, hi = (replay[f"local[{c}]"] for c in SCALING_CORES)
     ratio = SCALING_CORES[1] / SCALING_CORES[0]
     efficiency = (hi["events_per_sec"] / lo["events_per_sec"]) / ratio
@@ -333,7 +350,9 @@ generation in a throwaway subprocess whose JVM exits before the first
 replay worker starts, (b) records a 16-process sha canary
 (`canary_s`, healthy 0.15-0.4 s) AND a fresh-page bandwidth probe
 (`membw_gbps`, healthy ≥ ~1.5) per replay attempt and top-level, and
-(c) spends up to SPARK_GRAFT_BENCH_EXTRA extra best-of rounds until a
+(c) gates each attempt on a live probe (wait for membw ≥ 1 GB/s, up
+to SPARK_GRAFT_BENCH_GATE_WAIT), cools down between unhealthy rounds,
+and spends up to SPARK_GRAFT_BENCH_EXTRA extra best-of rounds until a
 round finishes healthy. The table above is from a healthy round —
 check the canaries in BENCH_r{{N}}.json before reading any cell as a
 regression.

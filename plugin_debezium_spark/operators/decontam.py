@@ -1,0 +1,115 @@
+"""Training-set decontamination and cross-document boilerplate stats.
+
+Two standard pre-training hygiene passes a 100 TB pipeline runs before
+anything else:
+
+- ``ngram_overlap``: flag training documents that share word n-grams
+  with a held-out evaluation set (the GPT-3/PaLM-style "13-gram
+  decontamination" check). Implemented as distinct-shingle inner join
+  → per-doc hit count: the contamination side is usually tiny
+  (benchmarks), so Spark broadcasts it and the pass is one corpus
+  scan; when it isn't, the same plan degrades gracefully to a shuffle
+  hash join on the shingle key. Never all-pairs, never per-row Python.
+
+- ``duplicate_line_stats``: CCNet-style per-document duplicate-line
+  share — lines repeated across the corpus are boilerplate
+  (headers, nav bars, license blocks); documents dominated by them get
+  filtered or line-stripped. One explode → global line-hash count
+  (map-side combinable) → per-doc aggregate.
+
+Both emit integer components only (counts, not ratios) so a DuckDB
+oracle agrees bit-for-bit; thresholds apply via integer
+cross-multiplication downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from plugin_debezium_spark.operators.neardup import word_shingles_expr
+
+
+def ngram_overlap(
+    docs: DataFrame,
+    contamination: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document contamination check: how many of the doc's
+    DISTINCT word n-grams appear anywhere in the contamination set.
+
+    Output: (id_col, n_shingles, contam_hits) — one row per input
+    doc, contam_hits = 0 for clean docs. A caller drops docs where
+    ``contam_hits * K >= n_shingles`` (integer threshold) or any
+    hits at all for strict eval hygiene.
+
+    Scale shape: docs-side shingles are exploded DISTINCT per doc
+    (bounded by words-per-doc), contamination-side shingles collapse
+    to a global DISTINCT set (tiny for real benchmarks → broadcast
+    hash join; AQE picks the strategy from measured size). The join
+    output is only the hits, not the cross product."""
+    d_sh = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(word_shingles_expr(text_col, n))).alias("_sh"),
+    ).distinct()
+    c_sh = (
+        contamination.select(
+            F.explode(F.expr(word_shingles_expr(text_col, n))).alias("_sh")
+        )
+        .distinct()
+    )
+    per_doc = d_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        d_sh.join(c_sh, "_sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contam_hits"))
+    )
+    return (
+        per_doc.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("contam_hits", F.lit(0)).alias("contam_hits"),
+        )
+    )
+
+
+def duplicate_line_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Per-document duplicate-line share vs the WHOLE corpus.
+
+    A line is "duplicated" when its trimmed text occurs in more than
+    one document (distinct-doc count ≥ 2 — within-doc repeats don't
+    count, matching CCNet's cross-document boilerplate notion).
+    Output: (id_col, n_lines, dup_lines) with integer counts; the
+    dup share is one division away.
+
+    Scale shape: explode to (doc, line) pairs, distinct, then a
+    line-key groupBy whose map-side combine collapses per-partition
+    repeats before the shuffle; the per-doc rollup rides the same
+    distinct frame. Lines shorter than ``min_line_chars`` after trim
+    are ignored (blank-line noise)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
+    ).select(id_col, F.trim(F.col("_line")).alias("_line"))
+    lines = lines.filter(F.length("_line") >= min_line_chars)
+    doc_lines = lines.distinct()
+    global_counts = doc_lines.groupBy("_line").agg(
+        F.count("*").alias("_docs_with_line")
+    )
+    joined = doc_lines.join(global_counts, "_line")
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(
+            F.when(F.col("_docs_with_line") >= 2, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("dup_lines"),
+    )

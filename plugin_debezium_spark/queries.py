@@ -345,6 +345,84 @@ def cdc_replay_snapshot_never(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_replay_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 schema evolution end-to-end through the REAL engine (round-4:
+    evolution was pytest-only). Events in the upper half of the LSN
+    range carry an added ``stars`` field in their after image; the
+    engine's per-epoch inference + plans/evolve must widen the sink
+    schema mid-replay (reference: Debezium emits evolved record
+    schemas and the consumer follows), so the final table has the new
+    column — populated exactly where the LWW winner is a post-cutoff
+    event, null for rows last written by the old schema."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from plugin_debezium_spark.plans.lake import LakeTable
+    from plugin_debezium_spark.streaming.engine import EngineConfig, run
+
+    env = envelopes_from_events(spark, sf_dir)
+    cut = int(env.agg(F.max("lsn")).collect()[0][0]) // 2
+    log = env.select(
+        "lsn",
+        "ts_ms",
+        "op",
+        F.struct("repo", "path", "commit").alias("key"),
+        F.lit(None).cast("string").alias("before_json"),
+        F.when(F.col("op") == "d", F.lit(None).cast("string"))
+        .otherwise(
+            # to_json drops null fields: pre-cutoff images have NO
+            # stars key at all — a true v1-schema wire image
+            F.to_json(
+                F.struct(
+                    "repo",
+                    "path",
+                    "commit",
+                    "lang",
+                    "content",
+                    F.when(
+                        F.col("lsn") >= F.lit(cut),
+                        F.pmod(F.col("lsn"), F.lit(50)),
+                    ).alias("stars"),
+                )
+            )
+        )
+        .alias("after_json"),
+        F.struct(
+            F.lit("kestra").alias("db"),
+            F.lit("repofiles").alias("table"),
+            F.lit("false").alias("snapshot"),
+            F.lit("events").alias("connector"),
+        ).alias("source"),
+        F.lit(0).cast("long").alias("epoch_hint"),
+        (F.col("lsn") / 2500).cast("long").alias("lsn_bucket"),
+    )
+    d = tempfile.mkdtemp(prefix="cdc_evolve_")
+    atexit.register(shutil.rmtree, d, True)
+    log.write.mode("overwrite").partitionBy("lsn_bucket").parquet(f"{d}/log")
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    cfg = EngineConfig(
+        log_dir=f"{d}/log",
+        table_dir=f"{d}/tbl",
+        # ≥2 epochs either side of the cutoff so the widening happens
+        # MID-replay, not in the first epoch
+        max_events_per_batch=max(2500, n_events // 4 + 1),
+        write_metrics=False,
+    )
+    run(spark, cfg)
+    t = LakeTable(spark, f"{d}/tbl")
+    return t.read().select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        "content_sha256",
+        F.col("stars").cast("long").alias("stars"),
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
 def cdc_replay_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2/P4 TRUNCATE semantics end-to-end: a log where some delete
     positions become TRUNCATE envelopes (op='t', no key, no images —
@@ -978,6 +1056,21 @@ SELECT repo, path, commit, lang, content,
 FROM latest, tl
 WHERE rn = 1 AND op2 <> 'd' AND lsn > tl.t
 """,
+    "cdc_replay_evolution": f"""
+WITH {ENV_SQL},
+q1 AS (SELECT max(lsn) // 2 AS t FROM env),
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path, commit ORDER BY lsn DESC) AS rn
+  FROM env
+)
+SELECT repo, path, commit, lang, content,
+       sha256(content) AS content_sha256,
+       CASE WHEN lsn >= (SELECT t FROM q1)
+            THEN CAST(lsn % 50 AS BIGINT) END AS stars,
+       lsn AS last_lsn
+FROM latest WHERE rn = 1 AND op <> 'd'
+""",
     "cdc_dedupe_window": FINAL_STATE_SQL,
     "cdc_column_projection": f"""
 WITH {ENV_SQL}
@@ -1162,6 +1255,7 @@ QUERIES = {
     "cdc_replay_final_state": cdc_replay_final_state,
     "cdc_replay_mor": cdc_replay_mor,
     "cdc_replay_snapshot_never": cdc_replay_snapshot_never,
+    "cdc_replay_evolution": cdc_replay_evolution,
     "cdc_replay_truncate": cdc_replay_truncate,
     "cdc_dedupe_window": cdc_dedupe_window,
     "cdc_column_projection": cdc_column_projection,

@@ -240,6 +240,33 @@ def text_normalize_scrub(spark, sf_dir):
     )
 
 
+def text_decontaminate(spark, sf_dir):
+    """Eval-set decontamination (GPT-3-style n-gram overlap check):
+    docs with doc_id % 100 == 0 act as the held-out benchmark; every
+    other doc reports how many of its distinct 3-gram shingles appear
+    anywhere in that set (operators/decontam.ngram_overlap — distinct
+    shingles, hits-only join, contamination side broadcastable).
+    Integer counts only; a strict pipeline drops contam_hits > 0."""
+    d = _docs(spark, sf_dir)
+    from plugin_debezium_spark.operators.decontam import ngram_overlap
+
+    ev = d.filter(F.col("doc_id") % 100 == 0)
+    train = d.filter(F.col("doc_id") % 100 != 0)
+    return ngram_overlap(train, ev, n=3)
+
+
+def text_duplicate_lines(spark, sf_dir):
+    """CCNet-style cross-document boilerplate: per-doc count of
+    distinct trimmed lines that occur in >= 2 documents corpus-wide
+    (operators/decontam.duplicate_line_stats — explode, distinct,
+    map-side-combined global line count, per-doc rollup)."""
+    from plugin_debezium_spark.operators.decontam import (
+        duplicate_line_stats,
+    )
+
+    return duplicate_line_stats(_docs(spark, sf_dir))
+
+
 def text_fingerprint(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
@@ -976,6 +1003,36 @@ SELECT base.*, rep.rep_max_tri, rep.rep_tri_total
 FROM base JOIN rep USING (doc_id)
 """
 
+DATA_ORACLES["text_decontaminate"] = f"""
+WITH {_SHINGLES3},
+train AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 100 <> 0),
+ev AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 100 = 0),
+counts AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1),
+hits AS (
+  SELECT t.doc_id, count(*) AS contam_hits
+  FROM train t JOIN ev USING (shingle) GROUP BY 1
+)
+SELECT counts.doc_id, n_shingles,
+       coalesce(contam_hits, 0) AS contam_hits
+FROM counts LEFT JOIN hits USING (doc_id)
+"""
+
+DATA_ORACLES["text_duplicate_lines"] = """
+WITH raw AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        FROM documents)
+),
+lines AS (
+  SELECT DISTINCT doc_id, line FROM raw WHERE length(line) >= 1
+),
+gc AS (SELECT line, count(*) AS dwl FROM lines GROUP BY 1)
+SELECT doc_id, count(*) AS n_lines,
+       CAST(sum(CASE WHEN dwl >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_lines
+FROM lines JOIN gc USING (line) GROUP BY 1
+"""
+
 DATA_ORACLES["text_hash_split"] = """
 WITH b AS (
   SELECT doc_id,
@@ -1058,6 +1115,8 @@ FROM walk GROUP BY node
 DATA_QUERIES.update(
     {
         "text_fingerprint": text_fingerprint,
+        "text_decontaminate": text_decontaminate,
+        "text_duplicate_lines": text_duplicate_lines,
         "emb_topk_bruteforce": emb_topk_bruteforce,
         "emb_topk_bruteforce_numpy": emb_topk_bruteforce_numpy,
         "emb_topk_lsh": emb_topk_lsh,

@@ -515,3 +515,52 @@ def test_numpy_impls_agree_with_sql(spark):
         for r in ivf_assign(e, cent, 2, impl="numpy").collect()
     }
     assert sql_2 == np_2
+
+
+def test_ngram_overlap_decontamination(spark):
+    from plugin_debezium_spark.operators.decontam import ngram_overlap
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap here at all"),
+            (3, "quick brown fox is a benchmark phrase fragment"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["contam_hits"])
+        for r in ngram_overlap(train, ev, n=3).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # doc 1 shares "the quick brown","quick brown fox","brown fox jumps"
+    assert out[1][1] == 3
+    assert out[2][1] == 0  # clean doc still reported, hits 0
+    assert out[3][1] == 1  # "quick brown fox" only
+    assert all(n > 0 for n, _ in out.values())
+
+
+def test_duplicate_line_stats(spark):
+    from plugin_debezium_spark.operators.decontam import duplicate_line_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COMMON HEADER\nunique body one\n\nCOMMON FOOTER"),
+            (2, "COMMON HEADER\nunique body two\nCOMMON FOOTER"),
+            (3, "all original content\nnothing shared"),
+            # within-doc repeat does NOT count as cross-doc duplicate
+            (4, "solo line\nsolo line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["dup_lines"])
+        for r in duplicate_line_stats(docs).collect()
+    }
+    assert out[1] == (3, 2)  # header+footer dup; blank line dropped
+    assert out[2] == (3, 2)
+    assert out[3] == (2, 0)
+    assert out[4] == (1, 0)  # distinct collapses the repeat
