@@ -564,3 +564,45 @@ def test_duplicate_line_stats(spark):
     assert out[2] == (3, 2)
     assert out[3] == (2, 0)
     assert out[4] == (1, 0)  # distinct collapses the repeat
+
+
+def test_numpy_scoring_agrees_in_lsh_ivf_and_pairs(spark):
+    """impl="numpy" scoring through lsh_topk / ivf_topk /
+    cosine_neardup_pairs matches the SQL expression path on fixture
+    embeddings (ranks and pair sets; cosines agree to float noise)."""
+    from plugin_debezium_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    corpus = e.filter(F.col("vec_id") >= 5)
+    queries = e.filter(F.col("vec_id") < 5)
+    cent = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") <= 8)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+
+    def ranks(df):
+        return {
+            (r["query_id"], r["rank"]): r["neighbor_id"] for r in df.collect()
+        }
+
+    assert ranks(lsh_topk(corpus, queries, dim=dim, k=3)) == ranks(
+        lsh_topk(corpus, queries, dim=dim, k=3, impl="numpy")
+    )
+    assert ranks(ivf_topk(corpus, queries, cent, k=3)) == ranks(
+        ivf_topk(corpus, queries, cent, k=3, impl="numpy")
+    )
+    sql_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(e, dim=dim, threshold=0.25).collect()
+    }
+    np_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(
+            e, dim=dim, threshold=0.25, impl="numpy"
+        ).collect()
+    }
+    assert sql_pairs == np_pairs and len(sql_pairs) > 0
