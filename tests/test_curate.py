@@ -108,3 +108,33 @@ def test_curate_cli_writes_partitioned(spark, tmp_path):
     assert any(
         n.startswith("split=") for n in os.listdir(out_dir)
     )
+
+
+def test_curate_decontamination_stage(spark):
+    """With a contamination set drawn from the corpus itself, the
+    overlapping survivors are dropped; a disjoint set drops none."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    contam = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    out, stats = curate(
+        spark, docs, min_words=3, max_rep_frac=0.9, contamination=contam
+    )
+    assert stats["after_decontam"] <= stats["after_neardup"]
+    assert stats["after_decontam"] < stats["after_neardup"]  # real overlap
+    survivors = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # every doc in the contamination id set that survived to stage 3
+    # must be gone (it trivially overlaps itself)
+    contam_ids = {
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert not (survivors & contam_ids)
+
+    disjoint = spark.createDataFrame(
+        [("zq xv wk qj zz yy xx ww vv uu",)], "text string"
+    )
+    out2, stats2 = curate(
+        spark, docs, min_words=3, max_rep_frac=0.9, contamination=disjoint
+    )
+    assert stats2["after_decontam"] == stats2["after_neardup"]
