@@ -410,6 +410,117 @@ def ivf_assign(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Train the IVF coarse quantizer: k-means by cosine over the
+    corpus (closes the 'centroids supplied, not trained' gap — in
+    production this runs offline on a sample; here it is the same
+    Spark job shape at any scale).
+
+    Deterministic throughout: seeding is farthest-point (k-means++'s
+    deterministic cousin) — seed 0 is the vector with the smallest
+    sha256(seed:id) digest (content-addressed, stable under corpus
+    growth order), each next seed is the corpus vector with the
+    LOWEST max-cosine to the seeds so far (ties: min id), found by a
+    min_by aggregate over one numpy-scored corpus pass per seed (k-1
+    passes, k is small). Bad-luck sha sampling cannot collapse two
+    true clusters into one cell this way. Each of the fixed `iters`
+    Lloyd rounds is then assign (numpy Arrow-batch argmax, no join
+    expansion) → per-cid MEAN of member vectors (one
+    map-side-combinable groupBy over `posexplode`d components — the
+    shuffle carries k×dim partial sums, not vectors). Empty cells
+    keep their previous centroid. Returns (cid, centroid) with cids
+    0..k-1 densely assigned in seeding order, ready for
+    ivf_assign/ivf_topk."""
+    first = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.sha2(
+                F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")),
+                256,
+            ).alias("_d"),
+        )
+        .orderBy("_d", id_col)
+        .first()
+    )
+    chosen = [np.asarray(first[vec_col], dtype=np.float64)]
+    for _ in range(k - 1):
+        S = np.stack(chosen)
+        Sn = np.linalg.norm(S, axis=1)
+
+        @pandas_udf("double")
+        def _maxcos(v: pd.Series) -> pd.Series:
+            M = np.stack(v.to_numpy()).astype(np.float64)
+            cos = (M @ S.T) / (
+                np.linalg.norm(M, axis=1)[:, None] * Sn[None, :]
+            )
+            return pd.Series(cos.max(axis=1))
+
+        far = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .withColumn("_mc", _maxcos(F.col(vec_col)))
+            .agg(
+                F.min_by(
+                    F.col(vec_col),
+                    F.struct(F.col("_mc"), F.col(id_col)),
+                ).alias("_v")
+            )
+            .collect()[0]["_v"]
+        )
+        chosen.append(np.asarray(far, dtype=np.float64))
+    cent = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(chosen)],
+        "cid long, centroid array<double>",
+    )
+    corpus = df.select(id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(
+            corpus, cent, 1, id_col=id_col, vec_col=vec_col, impl="numpy"
+        )
+        means = (
+            assigned.select(
+                "cid",
+                F.posexplode(
+                    F.expr(f"transform({vec_col}, v -> cast(v as double))")
+                ).alias("_i", "_x"),
+            )
+            .groupBy("cid", "_i")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_i", "_m"))
+                ).alias("_ims")
+            )
+            .select(
+                "cid",
+                F.expr("transform(_ims, s -> s._m)").alias("centroid"),
+            )
+        )
+        # empty cells keep the previous centroid
+        cent = (
+            cent.alias("old")
+            .join(means.alias("new"), "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(
+                    F.col("new.centroid"), F.col("old.centroid")
+                ).alias("centroid"),
+            )
+        )
+        cent = cent.sparkSession.createDataFrame(
+            cent.collect(), "cid long, centroid array<double>"
+        )  # k×dim rows: materialize driver-side, truncate lineage
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -853,6 +853,29 @@ def emb_ivf_assign_numpy(spark, sf_dir):
     return ivf_assign(e, cent, 1, impl="numpy").select("vec_id", "cid")
 
 
+def emb_ivf_train_topk(spark, sf_dir):
+    """End-to-end TRAINED IVF: k-means coarse quantizer fit on the
+    corpus (operators/similarity.train_ivf_centroids — deterministic
+    content-addressed seeding, numpy assign, map-side-combinable mean
+    updates) then ivf_topk over the trained cells. Iterative training
+    is not single-statement-SQL-expressible, so this query has no
+    DuckDB oracle (driver records the rows-only check); determinism
+    and cluster recovery are pytest-asserted in test_dataops.py."""
+    from pyspark.sql import functions as F
+
+    from plugin_debezium_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    e = _embs(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    cent = train_ivf_centroids(corpus, k=4, iters=3)
+    return ivf_topk(
+        corpus, e.filter(F.col("vec_id") < 5), cent, k=3, nprobe=2
+    ).select("query_id", "rank", "neighbor_id")
+
+
 def connect_typed_decode(spark, sf_dir):
     """P7 Connect wire decode end-to-end: per-doc wire JSON whose
     Connect schema types a base64-bytes Decimal(scale=2), an epoch-day
@@ -1127,6 +1150,7 @@ DATA_QUERIES.update(
         "multimodal_features": multimodal_features,
         "emb_ivf_assign": emb_ivf_assign,
         "emb_ivf_assign_numpy": emb_ivf_assign_numpy,
+        "emb_ivf_train_topk": emb_ivf_train_topk,
         "connect_typed_decode": connect_typed_decode,
         "emb_dedup_clusters": emb_dedup_clusters,
     }

@@ -606,3 +606,46 @@ def test_numpy_scoring_agrees_in_lsh_ivf_and_pairs(spark):
         ).collect()
     }
     assert sql_pairs == np_pairs and len(sql_pairs) > 0
+
+
+def test_train_ivf_centroids_recovers_clusters(spark):
+    """K-means training on four axis-aligned clusters: trained
+    centroids separate the clusters (every member assigns to its own
+    cluster's centroid) and training is deterministic."""
+    import pandas as pd
+
+    from plugin_debezium_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    rows = [
+        {
+            "vec_id": i,
+            "embedding": [
+                1.0 + 0.05 * ((i * 7) % 3) if j == i % 4 else 0.02 * (j + 1)
+                for j in range(4)
+            ],
+        }
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    cent = train_ivf_centroids(df, k=4, iters=4)
+    rows_c = cent.orderBy("cid").collect()
+    assert [r["cid"] for r in rows_c] == [0, 1, 2, 3]
+    assert all(len(r["centroid"]) == 4 for r in rows_c)
+    # every trained centroid points along one axis, all four covered
+    axes = {max(range(4), key=lambda j: r["centroid"][j]) for r in rows_c}
+    assert axes == {0, 1, 2, 3}
+    # members assign to the centroid on their own axis
+    out = ivf_assign(df, cent, 1).collect()
+    cid_axis = {
+        r["cid"]: max(range(4), key=lambda j: r["centroid"][j])
+        for r in rows_c
+    }
+    assert all(cid_axis[r["cid"]] == r["vec_id"] % 4 for r in out)
+    # determinism
+    cent2 = train_ivf_centroids(df, k=4, iters=4)
+    assert [tuple(r["centroid"]) for r in rows_c] == [
+        tuple(r["centroid"]) for r in cent2.orderBy("cid").collect()
+    ]
