@@ -345,6 +345,73 @@ def cdc_replay_snapshot_never(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_replay_snapshot_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 snapshot_mode=INITIAL_ONLY end-to-end: consume through the
+    end of the snapshot phase (max 'r' LSN — creates in the first
+    lsn-quartile are relabeled as snapshot reads, same rule as
+    cdc_replay_snapshot_never), apply everything up to that point,
+    then STOP before the remaining change stream (reference
+    mysql/MysqlInterface.java:43-53 INITIAL_ONLY; engine clips the
+    epoch plan at the snapshot end and skips tail-follow)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from plugin_debezium_spark.plans.lake import LakeTable
+    from plugin_debezium_spark.streaming.engine import EngineConfig, run
+
+    env = envelopes_from_events(spark, sf_dir)
+    q1 = int(env.agg(F.max("lsn")).collect()[0][0]) // 4
+    env = env.withColumn(
+        "op",
+        F.when(
+            (F.col("op") == "c") & (F.col("lsn") < F.lit(q1)), F.lit("r")
+        ).otherwise(F.col("op")),
+    )
+    log = env.select(
+        "lsn",
+        "ts_ms",
+        "op",
+        F.struct("repo", "path", "commit").alias("key"),
+        F.lit(None).cast("string").alias("before_json"),
+        F.when(F.col("op") == "d", F.lit(None).cast("string"))
+        .otherwise(
+            F.to_json(F.struct("repo", "path", "commit", "lang", "content"))
+        )
+        .alias("after_json"),
+        F.struct(
+            F.lit("kestra").alias("db"),
+            F.lit("repofiles").alias("table"),
+            F.lit("false").alias("snapshot"),
+            F.lit("events").alias("connector"),
+        ).alias("source"),
+        F.lit(0).cast("long").alias("epoch_hint"),
+        (F.col("lsn") / 2500).cast("long").alias("lsn_bucket"),
+    )
+    d = tempfile.mkdtemp(prefix="cdc_snaponly_")
+    atexit.register(shutil.rmtree, d, True)
+    log.write.mode("overwrite").partitionBy("lsn_bucket").parquet(f"{d}/log")
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    cfg = EngineConfig(
+        log_dir=f"{d}/log",
+        table_dir=f"{d}/tbl",
+        max_events_per_batch=max(2500, n_events // 3 + 1),
+        write_metrics=False,
+        snapshot_mode="INITIAL_ONLY",
+    )
+    run(spark, cfg)
+    t = LakeTable(spark, f"{d}/tbl")
+    return t.read().select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        "content_sha256",
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
 def cdc_replay_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 schema evolution end-to-end through the REAL engine (round-4:
     evolution was pytest-only). Events in the upper half of the LSN
@@ -1056,6 +1123,25 @@ SELECT repo, path, commit, lang, content,
 FROM latest, tl
 WHERE rn = 1 AND op2 <> 'd' AND lsn > tl.t
 """,
+    "cdc_replay_snapshot_only": f"""
+WITH {ENV_SQL},
+q1 AS (SELECT max(lsn) // 4 AS t FROM env),
+env2 AS (
+  SELECT *, CASE WHEN op = 'c' AND lsn < (SELECT t FROM q1)
+                 THEN 'r' ELSE op END AS op2
+  FROM env
+),
+se AS (SELECT max(CASE WHEN op2 = 'r' THEN lsn END) AS s FROM env2),
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path, commit ORDER BY lsn DESC) AS rn
+  FROM env2 WHERE lsn <= (SELECT s FROM se)
+)
+SELECT repo, path, commit, lang, content,
+       sha256(content) AS content_sha256,
+       lsn AS last_lsn
+FROM latest WHERE rn = 1 AND op2 <> 'd'
+""",
     "cdc_replay_evolution": f"""
 WITH {ENV_SQL},
 q1 AS (SELECT max(lsn) // 2 AS t FROM env),
@@ -1255,6 +1341,7 @@ QUERIES = {
     "cdc_replay_final_state": cdc_replay_final_state,
     "cdc_replay_mor": cdc_replay_mor,
     "cdc_replay_snapshot_never": cdc_replay_snapshot_never,
+    "cdc_replay_snapshot_only": cdc_replay_snapshot_only,
     "cdc_replay_evolution": cdc_replay_evolution,
     "cdc_replay_truncate": cdc_replay_truncate,
     "cdc_dedupe_window": cdc_dedupe_window,
