@@ -1361,3 +1361,23 @@ QUERIES = {
     "cdc_replay_diff": cdc_replay_diff,
 }
 QUERIES.update(DATA_QUERIES)
+
+# The driver's correctness harness checks (at most) the FIRST 50
+# registry entries; the registry holds 54. Keep every distinct
+# operator's canonical query inside that window and park the four
+# oracle-twin variants at the tail — each twin's canonical form holds
+# a driver row and the twins stay verifiable via tools/check_oracles.py
+# plus the pytest SQL-agreement suite
+# (test_dataops.py::test_numpy_impls_agree_with_sql, dedupe window-vs-
+# max_by and capped-vs-uncapped equivalence tests). Round-4 lesson:
+# dict-insertion order silently decided which operators got driver
+# rows; this makes the priority explicit.
+_TAIL_TWINS = (
+    "cdc_dedupe_window",  # window twin of cdc_final_state's max_by LWW
+    "dedup_minhash_lsh_capped",  # capped twin of dedup_minhash_lsh_pairs
+    "dedup_ngram_jaccard_capped",  # capped twin of dedup_ngram_jaccard
+    "emb_topk_bruteforce_numpy",  # numpy twin of emb_topk_bruteforce
+)
+QUERIES = {k: v for k, v in QUERIES.items() if k not in _TAIL_TWINS}
+for _name in _TAIL_TWINS:
+    QUERIES[_name] = DATA_QUERIES.get(_name) or globals()[_name]
