@@ -95,6 +95,16 @@ def _membw_gbps(mb: int = 256) -> float:
     return round(mb / 1024 / (time.time() - t0), 2)
 
 
+def _wait_healthy(max_wait_s: int) -> None:
+    """Gate a measured phase on a live fresh-page probe: don't start
+    while the host is in a degraded window."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        if _membw_gbps(64) >= 1.0:
+            return
+        time.sleep(45)
+
+
 def _worker(log_dir: str, table_dir: str, cores: int, batch: int) -> None:
     from plugin_debezium_spark.session import get_spark
     from plugin_debezium_spark.streaming.engine import EngineConfig, run
@@ -183,12 +193,52 @@ def _prep(sf_dir: str, cpus: int, log_dir: str) -> None:
 
     canary_before_queries = _canary_s()
     membw_before_queries = _membw_gbps()
+    # Per-query phase is health-gated like the replay rounds (round-4
+    # lesson: one probe BEFORE a ~3-minute loop can't see a degraded
+    # window opening mid-phase — it manufactured a 3x phantom
+    # regression on cdc_replay_diff). Probe fresh-page bandwidth every
+    # GROUP queries; if any probe in a pass is unhealthy, cool down and
+    # re-run the whole pass (keeping per-query MIN across passes, so a
+    # healthy pass always wins) up to SPARK_GRAFT_QUERY_ATTEMPTS times.
+    group = int(os.environ.get("SPARK_GRAFT_QUERY_PROBE_GROUP", "10"))
+    attempts = int(os.environ.get("SPARK_GRAFT_QUERY_ATTEMPTS", "3"))
+    gate_s = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "300"))
     query_secs: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        query_secs[name] = round(time.time() - t0, 3)
+    query_probes: list[dict] = []
+    items = list(entry_mod.queries().items())
+    for attempt in range(attempts):
+        _wait_healthy(gate_s)
+        healthy = True
+        probes = []
+        for i, (name, fn) in enumerate(items):
+            if i % group == 0:
+                bw = _membw_gbps(64)
+                probes.append({"at": i, "membw_gbps": bw})
+                if bw < 1.0:
+                    healthy = False
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            sec = round(time.time() - t0, 3)
+            if name not in query_secs or sec < query_secs[name]:
+                query_secs[name] = sec
+        end_probe = {
+            "at": len(items),
+            "membw_gbps": _membw_gbps(64),
+            "canary_s": _canary_s(),
+        }
+        probes.append(end_probe)
+        if end_probe["membw_gbps"] < 1.0 or end_probe["canary_s"] > 1.0:
+            healthy = False
+        query_probes.append(
+            {"attempt": attempt, "healthy": healthy, "probes": probes}
+        )
+        if healthy:
+            break
+        if attempt < attempts - 1:
+            time.sleep(
+                int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "180"))
+            )
 
     if not os.path.exists(os.path.join(log_dir, "_SUCCESS")):
         spec = LogSpec(
@@ -210,6 +260,10 @@ def _prep(sf_dir: str, cpus: int, log_dir: str) -> None:
                 "queries": query_secs,
                 "canary_before_queries_s": canary_before_queries,
                 "membw_before_queries_gbps": membw_before_queries,
+                "query_probes": query_probes,
+                "query_phase_healthy": bool(
+                    query_probes and query_probes[-1]["healthy"]
+                ),
             }
         )
     )
@@ -255,15 +309,6 @@ def main() -> None:
     # healthy round reaches the best-of
     extras = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "3"))
     replay = {}
-    def _wait_healthy(max_wait_s: int) -> None:
-        """Gate an attempt on a live fresh-page probe: don't start a
-        measured replay while the host is in a degraded window."""
-        t0 = time.time()
-        while time.time() - t0 < max_wait_s:
-            if _membw_gbps(64) >= 1.0:
-                return
-            time.sleep(45)
-
     gate_s = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "300"))
     for attempt in range(runs + extras):
         healthy = True
@@ -293,6 +338,8 @@ def main() -> None:
     result = {
         "canary_before_queries_s": prep["canary_before_queries_s"],
         "membw_before_queries_gbps": prep["membw_before_queries_gbps"],
+        "query_probes": prep.get("query_probes", []),
+        "query_phase_healthy": prep.get("query_phase_healthy"),
         "canary_s": _canary_s(),
         "membw_gbps": _membw_gbps(),
         "metric": (
@@ -356,9 +403,15 @@ replay worker starts, (b) records a 16-process sha canary
 (c) gates each attempt on a live probe (wait for membw ≥ 1 GB/s, up
 to SPARK_GRAFT_BENCH_GATE_WAIT), cools down between unhealthy rounds,
 and spends up to SPARK_GRAFT_BENCH_EXTRA extra best-of rounds until a
-round finishes healthy. The table above is from a healthy round —
-check the canaries in BENCH_r{{N}}.json before reading any cell as a
-regression.
+round finishes healthy. Since round 5 the PER-QUERY phase is gated
+the same way (round-4 flaw: one probe before a ~3-minute loop let a
+mid-phase degraded window manufacture a 3x phantom regression on
+cdc_replay_diff): fresh-page bandwidth is probed every ~10 queries,
+and an unhealthy pass is re-run after a cooldown (per-query MIN
+across passes, up to SPARK_GRAFT_QUERY_ATTEMPTS), with all probes
+recorded under `query_probes` / `query_phase_healthy`. The table
+above is from a healthy round — check the canaries in
+BENCH_r{{N}}.json before reading any cell as a regression.
 
 Context — this sandbox's hardware ceiling: a pure-CPU multiprocessing
 burn test on this host scales 3.25x from 4→16 workers (efficiency

@@ -50,14 +50,22 @@ def ngram_overlap(
     to a global DISTINCT set (tiny for real benchmarks → broadcast
     hash join; AQE picks the strategy from measured size). The join
     output is only the hits, not the cross product."""
-    d_sh = docs.select(
-        F.col(id_col),
-        F.explode(F.expr(word_shingles_expr(text_col, n))).alias("_sh"),
-    ).distinct()
+    # NULL text shingles to [NULL] in Spark (transform over a null
+    # array) but to zero rows in DuckDB's unnest — drop NULL shingles
+    # so both engines agree the doc has zero shingles.
+    d_sh = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.expr(word_shingles_expr(text_col, n))).alias("_sh"),
+        )
+        .filter(F.col("_sh").isNotNull())
+        .distinct()
+    )
     c_sh = (
         contamination.select(
             F.explode(F.expr(word_shingles_expr(text_col, n))).alias("_sh")
         )
+        .filter(F.col("_sh").isNotNull())
         .distinct()
     )
     per_doc = d_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
@@ -66,12 +74,23 @@ def ngram_overlap(
         .groupBy(id_col)
         .agg(F.count("*").alias("contam_hits"))
     )
+    # join counts back onto the full doc-id spine: a NULL/empty text
+    # column explodes to zero shingle rows, and without the spine such
+    # docs would vanish from the output (and be DELETED by curate.py's
+    # left_semi at the decontamination stage) despite being trivially
+    # clean. "One row per input doc" is the contract.
     return (
-        per_doc.join(hits, id_col, "left")
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(hits, id_col, "left")
         .select(
             id_col,
-            "n_shingles",
-            F.coalesce("contam_hits", F.lit(0)).alias("contam_hits"),
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias(
+                "n_shingles"
+            ),
+            F.coalesce("contam_hits", F.lit(0).cast("long")).alias(
+                "contam_hits"
+            ),
         )
     )
 

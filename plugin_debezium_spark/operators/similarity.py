@@ -128,20 +128,22 @@ def _brute_force_topk_numpy(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
-    if not rows:
-        spark = corpus.sparkSession
-        return spark.createDataFrame(
-            [], "query_id long, rank int, neighbor_id long, cosine double"
-        )
-    qids = [r[0] for r in rows]
-    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    Qn = np.linalg.norm(Q, axis=1)
     qid_type = queries.schema[id_col].dataType.simpleString()
     nid_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = (
         f"query_id {qid_type}, neighbor_id {nid_type}, cosine double"
     )
+    rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    if not rows:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [],
+            f"query_id {qid_type}, rank int, "
+            f"neighbor_id {nid_type}, cosine double",
+        )
+    qids = [r[0] for r in rows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    Qn = np.linalg.norm(Q, axis=1)
 
     def _score(batches):
         for pdf in batches:
@@ -156,11 +158,17 @@ def _brute_force_topk_numpy(
             out = {"query_id": [], "neighbor_id": [], "cosine": []}
             for j, qid in enumerate(qids):
                 col = cos[:, j]
-                # local top-k of this batch: partial-select then exact
-                # (-cos, id) order — ties resolve identically to the
-                # final merge window
+                # local top-k of this batch. argpartition selects by
+                # cosine alone, so exact-cosine ties straddling the
+                # kk-th boundary (duplicate vectors are common in
+                # dedupe corpora) could drop a tied smaller-id
+                # neighbor; widen the candidate set to every row tied
+                # with the boundary value before the (-cos, id) order
+                # so the selection matches the SQL path's
+                # (desc cosine, asc neighbor_id) rule.
                 cand = np.argpartition(-col, kk - 1)[:kk]
-                cand = cand[np.lexsort((ids[cand], -col[cand]))]
+                cand = np.flatnonzero(col >= col[cand].min())
+                cand = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
                 out["query_id"].extend([qid] * len(cand))
                 out["neighbor_id"].extend(ids[cand])
                 out["cosine"].extend(col[cand])
@@ -417,6 +425,7 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Train the IVF coarse quantizer: k-means by cosine over the
     corpus (closes the 'centroids supplied, not trained' gap — in
@@ -436,10 +445,43 @@ def train_ivf_centroids(
     map-side-combinable groupBy over `posexplode`d components — the
     shuffle carries k×dim partial sums, not vectors). Empty cells
     keep their previous centroid. Returns (cid, centroid) with cids
-    0..k-1 densely assigned in seeding order, ready for
-    ivf_assign/ivf_topk."""
+    densely assigned in seeding order, ready for ivf_assign/ivf_topk.
+
+    sample_mod=M trains on the deterministic content-addressed
+    1/M hash-sample ``sha_bigint(seed:id) % M == 0`` (the hash_split
+    trick) instead of the full corpus: at 10^10 rows the k-1 seeding
+    passes and `iters` Lloyd passes would otherwise each scan
+    everything before training even starts. Seeding AND Lloyd run on
+    the sample; the caller's final ivf_assign over the full corpus is
+    unchanged. The sample is stable under corpus growth/order, so a
+    re-train on an appended corpus keeps the same sample members.
+
+    If the corpus runs out of distinct vector directions before k
+    seeds are found (the farthest remaining vector is already
+    cosine≈1 to a chosen seed), seeding stops early and FEWER than k
+    centroids are returned, with a warning — duplicate centroids
+    would pin permanently-empty cells on the higher cids."""
+    base = df
+    if sample_mod and sample_mod > 1:
+        digest = F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)), F.col(id_col).cast("string")
+                    ),
+                    256,
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        base = df.filter(digest % sample_mod == 0)
+        if not base.select(id_col).head(1):
+            base = df  # degenerate sample (tiny corpus / huge M)
     first = (
-        df.select(
+        base.select(
             F.col(id_col),
             F.col(vec_col),
             F.sha2(
@@ -464,22 +506,38 @@ def train_ivf_centroids(
             return pd.Series(cos.max(axis=1))
 
         far = (
-            df.select(F.col(id_col), F.col(vec_col))
+            base.select(F.col(id_col), F.col(vec_col))
             .withColumn("_mc", _maxcos(F.col(vec_col)))
             .agg(
                 F.min_by(
-                    F.col(vec_col),
+                    F.struct(
+                        F.col("_mc"), F.col(vec_col).alias("_v")
+                    ),
                     F.struct(F.col("_mc"), F.col(id_col)),
-                ).alias("_v")
+                ).alias("_s")
             )
-            .collect()[0]["_v"]
+            .collect()[0]["_s"]
         )
-        chosen.append(np.asarray(far, dtype=np.float64))
+        # exhausted distinct directions: the farthest remaining vector
+        # already coincides (cosine≈1) with a chosen seed — appending
+        # it would create duplicate centroids whose higher cids stay
+        # permanently empty. Stop with what we have.
+        if far["_mc"] >= 1.0 - 1e-9:
+            import warnings
+
+            warnings.warn(
+                f"train_ivf_centroids: corpus has only {len(chosen)} "
+                f"distinct vector directions; returning "
+                f"{len(chosen)} centroids instead of k={k}",
+                stacklevel=2,
+            )
+            break
+        chosen.append(np.asarray(far["_v"], dtype=np.float64))
     cent = df.sparkSession.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in enumerate(chosen)],
         "cid long, centroid array<double>",
     )
-    corpus = df.select(id_col, vec_col)
+    corpus = base.select(id_col, vec_col)
     for _ in range(iters):
         assigned = ivf_assign(
             corpus, cent, 1, id_col=id_col, vec_col=vec_col, impl="numpy"

@@ -1030,7 +1030,13 @@ DATA_ORACLES["text_decontaminate"] = f"""
 WITH {_SHINGLES3},
 train AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 100 <> 0),
 ev AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 100 = 0),
-counts AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1),
+-- spine = every train doc id, so a NULL/empty-text doc keeps a row
+-- with zero counts (matches ngram_overlap's one-row-per-doc contract)
+counts AS (
+  SELECT d.doc_id, count(t.shingle) AS n_shingles
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
+  LEFT JOIN train t USING (doc_id) GROUP BY 1
+),
 hits AS (
   SELECT t.doc_id, count(*) AS contam_hits
   FROM train t JOIN ev USING (shingle) GROUP BY 1

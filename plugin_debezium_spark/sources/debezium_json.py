@@ -237,6 +237,33 @@ def envelopes_from_value_json(
     unwrapped = F.when(p["payload"].isNotNull(), p["payload"]).otherwise(
         F.struct(*[p[f.name].alias(f.name) for f in env_struct.fields])
     )
+
+    def _img_norm(img: F.Column) -> F.Column:
+        """Mongo sends before/after as JSON *strings* — the reference
+        re-parses string-typed images back into documents
+        (CustomParameterDeserializer.java:14-20). A string-typed
+        variant here would make the `_vstr($.key)` key extraction
+        return null and `_vjson` emit a quoted string, losing
+        keys/images for a Mongo-shaped dump. Normalize: if the variant
+        root is a string whose text looks like a JSON document,
+        re-parse it. Cost on the hot (object-image) path is one O(1)
+        root-type check: try_variant_get(..., 'string') is an invalid
+        cast for object variants, so it nulls without walking the
+        doc."""
+        s = F.try_variant_get(img, "$", "string")
+        return F.when(
+            F.ltrim(s).startswith(F.lit("{")),
+            F.coalesce(F.try_parse_json(s), img),
+        ).otherwise(img)
+
+    unwrapped = F.struct(
+        unwrapped["op"].alias("op"),
+        unwrapped["ts_ms"].alias("ts_ms"),
+        _img_norm(unwrapped["before"]).alias("before"),
+        _img_norm(unwrapped["after"]).alias("after"),
+        unwrapped["source"].alias("source"),
+        unwrapped["transaction"].alias("transaction"),
+    )
     kv_cols = (
         [F.try_parse_json(F.col(key_col)).alias("_kv")] if key_col else []
     )

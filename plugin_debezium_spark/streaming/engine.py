@@ -727,8 +727,15 @@ def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
     next_epoch = int(props.get("last_epoch_id", -1)) + 1
 
     mode = (cfg.snapshot_mode or "INITIAL").upper()
-    if mode in (
-        "WHEN_NEEDED",
+    if mode == "WHEN_NEEDED":
+        # real WHEN_NEEDED semantics (MysqlInterface.java:43-53):
+        # snapshot iff no valid offsets exist. Our offsets are the
+        # table's committed snapshot properties — a fresh table (no
+        # committed epoch) runs the snapshot phase like INITIAL, a
+        # resumed table skips it like NEVER. No live server needed,
+        # so this mode does NOT degenerate.
+        mode = "INITIAL" if last_lsn < 0 else "NEVER"
+    elif mode in (
         "RECOVERY",
         "SCHEMA_ONLY",
         "SCHEMA_ONLY_RECOVERY",

@@ -649,3 +649,177 @@ def test_train_ivf_centroids_recovers_clusters(spark):
     assert [tuple(r["centroid"]) for r in rows_c] == [
         tuple(r["centroid"]) for r in cent2.orderBy("cid").collect()
     ]
+
+
+def test_train_ivf_centroids_sample_mod_recovers_clusters(spark):
+    """sample_mod trains seeding + Lloyd on the deterministic
+    content-addressed hash-sample only; with enough members per
+    cluster in the sample the trained centroids still separate the
+    clusters, and training stays deterministic."""
+    import pandas as pd
+
+    from plugin_debezium_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    rows = [
+        {
+            "vec_id": i,
+            "embedding": [
+                1.0 + 0.05 * ((i * 7) % 3) if j == i % 4 else 0.02 * (j + 1)
+                for j in range(4)
+            ],
+        }
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    cent = train_ivf_centroids(df, k=4, iters=4, sample_mod=3)
+    rows_c = cent.orderBy("cid").collect()
+    assert [r["cid"] for r in rows_c] == [0, 1, 2, 3]
+    axes = {max(range(4), key=lambda j: r["centroid"][j]) for r in rows_c}
+    assert axes == {0, 1, 2, 3}
+    # the FULL corpus assigns cleanly against sample-trained centroids
+    out = ivf_assign(df, cent, 1).collect()
+    cid_axis = {
+        r["cid"]: max(range(4), key=lambda j: r["centroid"][j])
+        for r in rows_c
+    }
+    assert all(cid_axis[r["cid"]] == r["vec_id"] % 4 for r in out)
+    cent2 = train_ivf_centroids(df, k=4, iters=4, sample_mod=3)
+    assert [tuple(r["centroid"]) for r in rows_c] == [
+        tuple(r["centroid"]) for r in cent2.orderBy("cid").collect()
+    ]
+    # degenerate sample (mod >> corpus) falls back to the full corpus
+    cent3 = train_ivf_centroids(df, k=4, iters=2, sample_mod=10**9)
+    assert cent3.count() == 4
+
+
+def test_train_ivf_centroids_duplicate_direction_guard(spark):
+    """When k exceeds the number of distinct vector directions,
+    farthest-point seeding stops early with a warning and returns
+    fewer centroids instead of emitting duplicates whose cells would
+    stay permanently empty."""
+    import warnings
+
+    import pandas as pd
+
+    from plugin_debezium_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    # two directions only (scaled copies share a direction: cosine 1)
+    rows = [
+        {"vec_id": i, "embedding": [1.0 * s, 0.0, 0.0, 0.0]}
+        for i, s in enumerate([1.0, 2.0, 3.0])
+    ] + [
+        {"vec_id": 10 + i, "embedding": [0.0, 2.0 * s, 0.0, 0.0]}
+        for i, s in enumerate([1.0, 1.5])
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cent = train_ivf_centroids(df, k=4, iters=2)
+        got = cent.orderBy("cid").collect()
+    assert [r["cid"] for r in got] == [0, 1]
+    assert any("distinct vector directions" in str(x.message) for x in w)
+
+
+def test_brute_force_topk_numpy_ties_at_boundary(spark):
+    """Duplicate vectors (exact-cosine ties) straddling the k-th
+    boundary: the numpy path's per-batch selection must keep the
+    tied smaller-id neighbor, matching the SQL path's
+    (desc cosine, asc neighbor_id) rule."""
+    import pandas as pd
+
+    from plugin_debezium_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    # ids 0..5 all share one direction (all cosine=1 vs the query);
+    # k=3 must pick ids 0,1,2 regardless of batch selection order
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [5, 3, 0, 4, 1, 2, 9],
+                "embedding": [[2.0, 0.0]] * 6 + [[0.0, 1.0]],
+            }
+        )
+    ).repartition(1)
+    queries = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [100], "embedding": [[1.0, 0.0]]})
+    )
+    want = [(100, 1, 0), (100, 2, 1), (100, 3, 2)]
+    for impl in ("sql", "numpy"):
+        got = [
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in brute_force_topk(corpus, queries, k=3, impl=impl)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == want, impl
+
+
+def test_brute_force_topk_numpy_empty_queries_schema(spark):
+    """Empty query set: the numpy path's result schema must derive
+    from the input id types (string ids here), same as when queries
+    are present."""
+    import pandas as pd
+
+    from plugin_debezium_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": ["a", "b"], "embedding": [[1.0, 0.0], [0.0, 1.0]]}
+        )
+    )
+    nonempty = brute_force_topk(
+        corpus,
+        corpus.limit(1),
+        k=1,
+        impl="numpy",
+    )
+    empty = brute_force_topk(
+        corpus,
+        corpus.filter(F.col("vec_id") == "zzz"),
+        k=1,
+        impl="numpy",
+    )
+    # nullability may differ (row_number is non-nullable); names and
+    # types are the contract
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == [
+        (f.name, f.dataType) for f in nonempty.schema.fields
+    ]
+    assert empty.count() == 0
+
+
+def test_ngram_overlap_null_text_doc_kept(spark):
+    """Docs with NULL/empty text explode to zero shingles but must
+    still get an output row (zero counts) — otherwise curate.py's
+    left_semi would delete trivially-clean docs."""
+    from plugin_debezium_spark.operators.decontam import ngram_overlap
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, None),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["contam_hits"])
+        for r in ngram_overlap(train, ev, n=3).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[2] == (0, 0)  # NULL text: zero shingles, zero hits
+    # empty string yields ONE degenerate "" shingle by the shared
+    # shingle-expr semantics (identical in the DuckDB twin) — the
+    # point here is the row EXISTS and is clean
+    assert out[3] == (1, 0)
+    assert out[1][1] == 3

@@ -401,3 +401,89 @@ def test_multi_server_provenance_round_trips(spark, tmp_path):
     assert rows[1]["version"] == "3.3.1.Final"
     assert rows[2]["name"] == "pg-west" and rows[2]["sequence"] is None
     assert rows[3]["name"] is None
+
+
+def test_mongo_string_encoded_images_replay_like_objects(spark, tmp_path):
+    """MongoDB's Debezium connector ships before/after as JSON
+    *strings*, not objects — the reference re-parses them
+    (CustomParameterDeserializer.java:14-20). A Mongo-shaped dump
+    (string images, `collection` instead of `table`, opaque resume
+    token) must import and replay to the SAME final state as the
+    object-image form: keys extracted, images materialized, deletes
+    honored."""
+    k1 = {"repo": "org/m", "path": "a.py", "commit": "c1"}
+    k2 = {"repo": "org/m", "path": "b.py", "commit": "c2"}
+    ts = 1700000000000
+    events = [
+        ("c", "82649A010000000A2B", k1, "v1"),
+        ("c", "82649A010000000B2B", k2, "w1"),
+        ("u", "82649A010000000C2B", k1, "v2"),
+        ("d", "82649A010000000D2B", k2, "w1"),
+    ]
+
+    def _dump(path, string_images):
+        lines = []
+        for op, tok, k, content in events:
+            image = {**k, "lang": "python", "content": content}
+            if string_images:
+                image = json.dumps(image)  # Mongo: image is a STRING
+            lines.append(
+                json.dumps(
+                    {
+                        "op": op,
+                        "ts_ms": ts,
+                        "before": image if op == "d" else None,
+                        "after": None if op == "d" else image,
+                        "source": {
+                            "connector": "mongodb",
+                            "db": "kestra",
+                            "collection": "repofiles",
+                            "snapshot": "false",
+                            "resume_token": tok,
+                        },
+                    }
+                )
+            )
+        path.write_text("\n".join(lines) + "\n")
+        return str(path)
+
+    finals = []
+    for variant, string_images in (("str", True), ("obj", False)):
+        p = _dump(tmp_path / f"mongo_{variant}.jsonl", string_images)
+        log = import_to_log(
+            spark,
+            p,
+            str(tmp_path / f"log_{variant}"),
+            lsn_buckets=2,
+            order_token_field="resume_token",
+        )
+        env = spark.read.parquet(log)
+        # keys extracted from string images, source.table <- collection
+        keys = {
+            (r["key"]["repo"], r["key"]["path"]) for r in env.collect()
+        }
+        assert keys == {("org/m", "a.py"), ("org/m", "b.py")}
+        assert {r["source"]["table"] for r in env.collect()} == {
+            "repofiles"
+        }
+        # after_json is the materialized DOCUMENT (not a quoted string)
+        a = {
+            json.loads(r["after_json"])["content"]
+            for r in env.collect()
+            if r["after_json"] is not None
+        }
+        assert a == {"v1", "w1", "v2"}
+        cfg = EngineConfig(
+            log_dir=log,
+            table_dir=str(tmp_path / f"t_{variant}"),
+            write_metrics=False,
+        )
+        run(spark, cfg)
+        finals.append(
+            sorted(
+                (r["repo"], r["path"], r["commit"], r["content"])
+                for r in LakeTable(spark, cfg.table_dir).read().collect()
+            )
+        )
+    assert finals[0] == finals[1]
+    assert finals[0] == [("org/m", "a.py", "c1", "v2")]

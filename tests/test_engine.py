@@ -428,10 +428,10 @@ def test_snapshot_mode_initial_only_stops_after_snapshot(
 def test_degenerate_snapshot_modes_warn_and_run_as_initial(
     spark, log_dir, tmp_path
 ):
-    """WHEN_NEEDED/RECOVERY/... need a live server — with a
-    lake-resident log they run as INITIAL, and since round 4 that
-    degeneration warns visibly instead of silently differing from
-    what a ported RECOVERY flow expects."""
+    """RECOVERY/SCHEMA_ONLY/... need a live server or schema-history
+    topic — with a lake-resident log they run as INITIAL, and since
+    round 4 that degeneration warns visibly instead of silently
+    differing from what a ported RECOVERY flow expects."""
     table_dir = str(tmp_path / "tbl")
     with pytest.warns(UserWarning, match="degenerates to INITIAL"):
         run(
@@ -440,11 +440,61 @@ def test_degenerate_snapshot_modes_warn_and_run_as_initial(
                 log_dir=log_dir,
                 table_dir=table_dir,
                 max_events_per_batch=1_000,
-                snapshot_mode="WHEN_NEEDED",
+                snapshot_mode="RECOVERY",
             ),
         )
     golden = golden_key_hashes(read_log_pandas(log_dir))
     assert _final_hashes(spark, table_dir) == golden
+
+
+def test_snapshot_mode_when_needed_is_state_dependent(
+    spark, log_dir, tmp_path
+):
+    """WHEN_NEEDED's real contract (MysqlInterface.java:43-53):
+    snapshot iff no valid offsets exist. Fresh table → full snapshot
+    phase (op='r' applied, same as INITIAL); resumed table → stream
+    only (no re-applied snapshot, no warning). Round-5 item: replaces
+    the warn+INITIAL degeneration."""
+    import dataclasses
+    import warnings
+
+    table_dir = str(tmp_path / "tbl")
+    cfg = EngineConfig(
+        log_dir=log_dir,
+        table_dir=table_dir,
+        max_events_per_batch=1_000,
+        snapshot_mode="WHEN_NEEDED",
+    )
+    log_pdf = read_log_pandas(log_dir)
+    # fresh table: snapshots — stop mid-snapshot-capable path not
+    # needed; just check the final state includes op='r' keys
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = run(spark, cfg)
+    assert not [x for x in w if "degenerates" in str(x.message)]
+    assert out["batches_applied"] > 0
+    assert _final_hashes(spark, table_dir) == golden_key_hashes(log_pdf)
+
+    # build a second table through the SNAPSHOT ONLY, then resume it
+    # with WHEN_NEEDED: offsets exist, so the snapshot phase is
+    # skipped — only streamed (non-'r') events past the offset apply
+    table2 = str(tmp_path / "tbl2")
+    run(
+        spark,
+        dataclasses.replace(
+            cfg, table_dir=table2, snapshot_mode="INITIAL_ONLY"
+        ),
+    )
+    snap_lsn = int(log_pdf[log_pdf["op"] == "r"]["lsn"].max())
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        out2 = run(spark, dataclasses.replace(cfg, table_dir=table2))
+    assert not [x for x in w2 if "degenerates" in str(x.message)]
+    assert out2["last_lsn"] == int(log_pdf["lsn"].max())
+    assert out2["last_lsn"] > snap_lsn
+    # no re-snapshot epoch ran on the resumed table
+    assert not any(e.get("resnapshot") for e in out2.get("epochs", []))
+    assert _final_hashes(spark, table2) == golden_key_hashes(log_pdf)
 
 
 def test_snapshot_mode_always_resnapshots_without_regression(
