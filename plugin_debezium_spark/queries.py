@@ -412,6 +412,104 @@ def cdc_replay_snapshot_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_replay_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+ — DBLog-style INCREMENTAL snapshot end-to-end: the source
+    table's state at capture position S (= max lsn // 4) is dumped to
+    a multi-file parquet with per-row last-modified positions, then
+    the engine bootstraps it in footer-planned file chunks INTERLEAVED
+    with the change stream from S (streaming/incremental.py; Debezium
+    incremental snapshots / DBLog watermarking — beyond the reference
+    plugin's all-upfront modes, mysql/MysqlInterface.java:43-53).
+
+    Chunk rows keep their true per-key position (incremental_lsn_col),
+    so the final table must equal the plain full-log LWW — the oracle
+    is FINAL_STATE_SQL verbatim, which is exactly the DBLog
+    correctness claim: chunked+interleaved bootstrap converges to the
+    same state as an ordered replay."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from plugin_debezium_spark.plans.lake import LakeTable
+    from plugin_debezium_spark.streaming.engine import EngineConfig, run
+
+    env = envelopes_from_events(spark, sf_dir)
+    s_pos = int(env.agg(F.max("lsn")).collect()[0][0]) // 4
+    d = tempfile.mkdtemp(prefix="cdc_incr_")
+    atexit.register(shutil.rmtree, d, True)
+
+    # source-state dump at S: LWW over events ≤ S, winner position kept
+    pre = env.filter(F.col("lsn") <= F.lit(s_pos))
+    w = pre.groupBy("repo", "path", "commit").agg(
+        F.max_by(
+            F.struct("op", "lang", "content", "lsn"), F.col("lsn")
+        ).alias("w")
+    )
+    state0 = w.filter(F.col("w.op") != "d").select(
+        "repo",
+        "path",
+        "commit",
+        F.col("w.lang").alias("lang"),
+        F.col("w.content").alias("content"),
+        F.col("w.lsn").alias("src_lsn"),
+    )
+    # multi-file dump → multiple footer-planned chunks actually
+    # interleave with the stream epochs below
+    state0.repartition(6, "repo", "path", "commit").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/src")
+
+    # change log: stream events only (the engine starts at S; pre-S
+    # events are already reflected in the dump)
+    log = env.select(
+        "lsn",
+        "ts_ms",
+        "op",
+        F.struct("repo", "path", "commit").alias("key"),
+        F.lit(None).cast("string").alias("before_json"),
+        F.when(F.col("op") == "d", F.lit(None).cast("string"))
+        .otherwise(
+            F.to_json(F.struct("repo", "path", "commit", "lang", "content"))
+        )
+        .alias("after_json"),
+        F.struct(
+            F.lit("kestra").alias("db"),
+            F.lit("repofiles").alias("table"),
+            F.lit("false").alias("snapshot"),
+            F.lit("events").alias("connector"),
+        ).alias("source"),
+        F.lit(0).cast("long").alias("epoch_hint"),
+        (F.col("lsn") / 2500).cast("long").alias("lsn_bucket"),
+    )
+    log.write.mode("overwrite").partitionBy("lsn_bucket").parquet(f"{d}/log")
+
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_src = state0.count()
+    cfg = EngineConfig(
+        log_dir=f"{d}/log",
+        table_dir=f"{d}/tbl",
+        # ~3 stream epochs × ~3 chunks so the interleave actually runs
+        max_events_per_batch=max(2500, n_events // 3 + 1),
+        write_metrics=False,
+        snapshot_mode="INCREMENTAL",
+        incremental_source_dir=f"{d}/src",
+        incremental_source_lsn=s_pos,
+        incremental_lsn_col="src_lsn",
+        incremental_chunk_rows=max(1, n_src // 3 + 1),
+    )
+    run(spark, cfg)
+    t = LakeTable(spark, f"{d}/tbl")
+    return t.read().select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        "content_sha256",
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
 def cdc_replay_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 schema evolution end-to-end through the REAL engine (round-4:
     evolution was pytest-only). Events in the upper half of the LSN
@@ -1085,6 +1183,9 @@ ORACLES: dict[str, str] = {
     "cdc_final_state_salted": FINAL_STATE_SQL,
     "cdc_replay_final_state": FINAL_STATE_SQL,
     "cdc_replay_mor": FINAL_STATE_SQL,
+    # DBLog convergence claim: chunked incremental bootstrap == ordered
+    # full-log LWW replay, bit for bit (per-row positions included)
+    "cdc_replay_incremental": FINAL_STATE_SQL,
     "cdc_replay_snapshot_never": f"""
 WITH {ENV_SQL},
 q1 AS (SELECT max(lsn) // 4 AS t FROM env),
@@ -1342,6 +1443,7 @@ QUERIES = {
     "cdc_replay_mor": cdc_replay_mor,
     "cdc_replay_snapshot_never": cdc_replay_snapshot_never,
     "cdc_replay_snapshot_only": cdc_replay_snapshot_only,
+    "cdc_replay_incremental": cdc_replay_incremental,
     "cdc_replay_evolution": cdc_replay_evolution,
     "cdc_replay_truncate": cdc_replay_truncate,
     "cdc_dedupe_window": cdc_dedupe_window,
@@ -1374,6 +1476,8 @@ QUERIES.update(DATA_QUERIES)
 # rows; this makes the priority explicit.
 _TAIL_TWINS = (
     "cdc_dedupe_window",  # window twin of cdc_final_state's max_by LWW
+    "cdc_final_state_salted",  # salted twin of cdc_final_state (same
+    # FINAL_STATE_SQL oracle; skew path also pytest-covered)
     "dedup_minhash_lsh_capped",  # capped twin of dedup_minhash_lsh_pairs
     "dedup_ngram_jaccard_capped",  # capped twin of dedup_ngram_jaccard
     "emb_topk_bruteforce_numpy",  # numpy twin of emb_topk_bruteforce

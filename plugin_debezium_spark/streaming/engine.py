@@ -71,9 +71,24 @@ class EngineConfig:
     #   NEVER        — skip op='r' events entirely
     #   ALWAYS       — re-apply the snapshot phase on every run (LWW
     #                  merge keeps newer streamed state)
+    #   INCREMENTAL  — DBLog-style chunked bootstrap: no op='r' phase
+    #                  in the log; the source-state dump at position
+    #                  incremental_source_lsn is merged in file-
+    #                  granular chunks INTERLEAVED with stream epochs
+    #                  (streaming/incremental.py) — the stream never
+    #                  waits for a 100 TB snapshot to finish
     # WHEN_NEEDED/RECOVERY variants need a live server and map to
     # INITIAL here.
     snapshot_mode: str = "INITIAL"
+    # INCREMENTAL mode inputs: parquet dir of the source table's state
+    # (one row per key) captured at position incremental_source_lsn;
+    # chunks sized to ~incremental_chunk_rows by footer planning. If
+    # the dump carries a per-row last-modified position column, name it
+    # in incremental_lsn_col for exact _lsn provenance (optional).
+    incremental_source_dir: str | None = None
+    incremental_source_lsn: int | None = None
+    incremental_lsn_col: str | None = None
+    incremental_chunk_rows: int = 1_000_000
     # "variant": parse JSON once into VariantType, infer schema with
     #   schema_of_variant_agg over the cached variants, project with a
     #   cast — the fast path (half the JSON work of "native").
@@ -221,9 +236,11 @@ def filter_events(cfg: EngineConfig, events: DataFrame) -> DataFrame:
     events = drop_ddl(events)
     if cfg.truncate_policy == "drop":
         events = events.filter(F.col("op") != OP_TRUNCATE)
-    if (cfg.snapshot_mode or "INITIAL").upper() == "NEVER":
-        # snapshot mode NEVER: op='r' events are skipped at the scan
-        # (reference MysqlInterface.java:43-53)
+    if (cfg.snapshot_mode or "INITIAL").upper() in ("NEVER", "INCREMENTAL"):
+        # NEVER: op='r' events are skipped at the scan (reference
+        # MysqlInterface.java:43-53). INCREMENTAL: snapshot rows come
+        # from the chunked source dump, never from the log — any 'r'
+        # rows the log happens to carry are stale duplicates.
         events = events.filter(F.col("op") != "r")
     events = include_exclude(
         events,
@@ -766,6 +783,9 @@ def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
         # rules treat the run as stream-only from the start
         state["in_snapshot"] = False
 
+    if mode == "INCREMENTAL":
+        return _run_incremental(spark, table, cfg, t0, state, applied, last_lsn)
+
     if mode == "ALWAYS" and last_lsn >= 0:
         # re-apply the snapshot phase every run (reference ALWAYS,
         # MysqlInterface.java:43-53). The LWW-guard merge keeps newer
@@ -856,6 +876,105 @@ def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
 
     return {
         "batches_applied": len(applied),
+        "epochs": applied,
+        "records": state["records"],
+        "stop_reason": state["stop"],
+        "last_lsn": int(table.current().properties.get("last_lsn", -1)),
+        "wall_s": time.time() - t0,
+    }
+
+
+def _run_incremental(
+    spark: SparkSession,
+    table: LakeTable,
+    cfg: EngineConfig,
+    t0: float,
+    state: dict,
+    applied: list,
+    last_lsn: int,
+) -> dict:
+    """snapshot_mode=INCREMENTAL: DBLog-style chunked bootstrap
+    (streaming/incremental.py) interleaved with stream epochs.
+
+    One snapshot chunk applies between consecutive stream epochs (then
+    any leftover chunks drain after the stream), so the stream's apply
+    latency is bounded by ONE chunk — never by the whole source table.
+    Change events count toward maxRecords from the start (Debezium
+    semantics: the incremental snapshot runs DURING normal streaming,
+    unlike the exempt upfront op='r' phase); chunk rows never count.
+
+    Deletes must outlive the bootstrap: until every chunk has applied,
+    a stream delete may precede its key's chunk, so merges run with
+    tombstone retention — lww_guard on COW (forced here, the
+    stream_log precedent), native tombstones on MOR. A bounded replay
+    returns when both the planned epochs and the chunks are drained
+    (the tail-follow poll belongs to the steady-state modes).
+    """
+    import dataclasses
+
+    from plugin_debezium_spark.streaming.incremental import (
+        CHUNK_PROP,
+        apply_chunk,
+        plan_chunks,
+    )
+
+    if not cfg.incremental_source_dir or cfg.incremental_source_lsn is None:
+        raise ValueError(
+            "snapshot_mode=INCREMENTAL needs incremental_source_dir "
+            "(the source-state parquet dump) and incremental_source_lsn "
+            "(the stream position the dump was captured at)"
+        )
+    icfg = (
+        dataclasses.replace(cfg, lww_guard=True)
+        if cfg.merge_mode == "cow"
+        else cfg
+    )
+    source_lsn = int(cfg.incremental_source_lsn)
+    if last_lsn < 0:
+        # fresh table: the dump already reflects every event ≤ S, so
+        # the stream starts at S (replaying them would be wasted work,
+        # though LWW would absorb it)
+        last_lsn = source_lsn
+    state["in_snapshot"] = False
+
+    chunks = plan_chunks(cfg.incremental_source_dir, cfg.incremental_chunk_rows)
+    next_chunk = (
+        int(table.current().properties.get(CHUNK_PROP, -1)) + 1
+    )
+    epochs = plan_epochs(spark, cfg.log_dir, last_lsn, cfg.max_events_per_batch)
+    if cfg.max_batches is not None:
+        epochs = epochs[: cfg.max_batches]
+
+    def _one_chunk() -> None:
+        nonlocal next_chunk
+        reason = _stop_reason(cfg, t0, state)
+        if reason is not None:
+            state["stop"] = reason
+            return
+        stats = apply_chunk(
+            spark, table, icfg, next_chunk, chunks[next_chunk], source_lsn
+        )
+        applied.append(stats)
+        next_chunk += 1
+
+    for ep in epochs:
+        if next_chunk < len(chunks):
+            _one_chunk()
+        if state["stop"] is not None:
+            break
+        ne = int(table.current().properties.get("last_epoch_id", -1)) + 1
+        _drain(
+            spark, table, icfg, [ep], ne, t0, state, applied, pipelined=False
+        )
+        if state["stop"] is not None:
+            break
+    while state["stop"] is None and next_chunk < len(chunks):
+        _one_chunk()
+
+    return {
+        "batches_applied": sum(1 for s in applied if "chunk_id" not in s),
+        "chunks_applied": sum(1 for s in applied if "chunk_id" in s),
+        "chunks_total": len(chunks),
         "epochs": applied,
         "records": state["records"],
         "stop_reason": state["stop"],
