@@ -7,6 +7,11 @@
 Composes the pipeline operators end-to-end over a documents table
 (doc_id, text, ...):
 
+  0. boilerplate    — (optional, --strip-dup-paragraphs) rewrite every
+                      doc with corpus-wide duplicate paragraphs
+                      stripped, canonical occurrence kept (CCNet
+                      order: strip boilerplate BEFORE quality so nav
+                      bars/license blocks don't prop up bad docs)
   1. quality gate   — Gopher-style integer signals (word count, mean
                       word length, alpha fraction, trigram repetition)
   2. exact dedup    — keep the min-id representative per content hash
@@ -44,6 +49,7 @@ def curate(
     contamination=None,
     max_contam_hits: int = 0,
     contam_ngram: int = 3,
+    strip_dup_paragraphs: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ):
@@ -66,6 +72,24 @@ def curate(
     )
 
     stats: dict[str, int] = {"input": df.count()}
+
+    # 0. optional cross-document boilerplate strip: rewrite text with
+    # corpus-wide duplicate paragraphs removed (canonical first
+    # occurrence kept). Runs before quality so repeated headers/nav/
+    # license blocks can't prop up an otherwise-empty doc; a doc
+    # stripped to nothing then fails min_words naturally.
+    if strip_dup_paragraphs:
+        from plugin_debezium_spark.operators.decontam import (
+            remove_duplicate_paragraphs,
+        )
+
+        rw = remove_duplicate_paragraphs(df, id_col=id_col, text_col=text_col)
+        stats["paragraph_dedup_rewritten"] = rw.filter(
+            F.col("kept_paras") < F.col("n_paras")
+        ).count()
+        df = df.drop(text_col).join(
+            rw.select(id_col, F.col("text_dedup").alias(text_col)), id_col
+        )
 
     # 1. quality gate (integer cross-multiplied thresholds); the
     # trigram derivation is THE shared one (word_shingles_expr) so the
@@ -155,6 +179,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--max-contam-hits", type=int, default=0)
     p.add_argument("--contam-ngram", type=int, default=3)
+    p.add_argument(
+        "--strip-dup-paragraphs",
+        action="store_true",
+        help="rewrite docs with corpus-wide duplicate paragraphs "
+        "stripped (canonical occurrence kept) before the quality gate",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -179,6 +209,7 @@ def main(argv: list[str] | None = None) -> int:
         contamination=contamination,
         max_contam_hits=args.max_contam_hits,
         contam_ngram=args.contam_ngram,
+        strip_dup_paragraphs=args.strip_dup_paragraphs,
     )
     out.write.mode("overwrite").partitionBy("split").parquet(args.output)
     stats["written"] = spark.read.parquet(args.output).count()

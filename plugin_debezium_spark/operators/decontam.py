@@ -95,6 +95,92 @@ def ngram_overlap(
     )
 
 
+def remove_duplicate_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Cross-document exact duplicate-paragraph REMOVAL (the
+    MassiveText/CCNet rewrite pass): where ``duplicate_line_stats``
+    only counts boilerplate, this rewrites every document with
+    corpus-wide duplicate paragraphs stripped, keeping one canonical
+    occurrence.
+
+    Keep rule (deterministic, oracle-exact):
+      an occurrence (doc, pos, para) survives iff
+        * pos is the doc's FIRST occurrence of that paragraph
+          (within-doc dedupe), and
+        * the doc is the MINIMAL ``id_col`` among all docs containing
+          the paragraph (cross-doc canonical keeper — the duplicate's
+          text lives on exactly once, in the lowest-id doc).
+      Unique paragraphs trivially satisfy both and always survive.
+
+    Paragraphs are trimmed segments of ``split(text, sep)`` with
+    length >= ``min_chars`` (blank-segment noise dropped — same
+    normalization as ``duplicate_line_stats``).
+
+    Output: one row per input doc (spine join — NULL/empty text
+    yields n_paras=0 and an empty rewrite, never a dropped row):
+    (id_col, n_paras, kept_paras, text_dedup) with the rewrite
+    reassembled in original paragraph order.
+
+    Scale shape: posexplode → two map-side-combinable groupBys
+    ((doc, para) first-occurrence, then (para) min-doc) → one shuffle
+    join on the paragraph key → per-doc sorted reassembly bounded by
+    doc size. Never all-pairs, never per-row Python; for corpora with
+    very long paragraphs, key the canonical groupBy/join on
+    ``sha2(para, 256)`` instead of the raw string to shrink shuffle
+    keys (both engines compute identical sha256, so the oracle
+    still agrees)."""
+    p = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias(
+                "_pos", "_para"
+            ),
+        )
+        .select(id_col, "_pos", F.trim(F.col("_para")).alias("_para"))
+        .filter(F.length("_para") >= min_chars)
+    )
+    n_paras = p.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    first_in_doc = p.groupBy(id_col, "_para").agg(
+        F.min("_pos").alias("_pos")
+    )
+    canon = first_in_doc.groupBy("_para").agg(
+        F.min(id_col).alias("_canon_doc")
+    )
+    kept = first_in_doc.join(canon, "_para").filter(
+        F.col(id_col) == F.col("_canon_doc")
+    )
+    rewritten = kept.groupBy(id_col).agg(
+        F.count("*").alias("kept_paras"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_para"))
+                ),
+                lambda x: x["_para"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+    )
+    return (
+        docs.select(id_col)
+        .join(n_paras, id_col, "left")
+        .join(rewritten, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_paras", F.lit(0).cast("long")).alias("n_paras"),
+            F.coalesce("kept_paras", F.lit(0).cast("long")).alias(
+                "kept_paras"
+            ),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
 def duplicate_line_stats(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # 2^31 - 1, the classic Mersenne prime for affine minhash perms
 _P = 2147483647
@@ -575,3 +576,91 @@ def simhash(
         ).otherwise(F.lit(0).cast("bigint"))
         sim = term if sim is None else sim + term
     return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication stats at n-word granularity (the
+    Spark re-expression of suffix-array exact-substring dedup, Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): every n-word shingle occurring in >= ``min_docs``
+    DISTINCT docs marks all of its occurrences, and each doc's marked
+    shingle start positions are merged into maximal covered spans
+    (gaps-and-islands: shingles starting at p and q chain iff
+    q <= p + n, i.e. their n-word windows overlap or touch).
+
+    Output: one row per input doc (spine join — NULL/short text never
+    drops a row): (id_col, n_words, n_spans, dup_words) where
+    dup_words is the number of word positions covered by duplicated
+    spans (clamped to n_words for the short-doc degenerate shingle).
+    Downstream policy (drop doc if dup_words/n_words high, or excise
+    the spans) composes on top; the stats are the expensive part.
+
+    Scale shape: posexplode -> one (shingle-sha) groupBy counting
+    distinct docs via a (sha, doc) pre-dedupe (both map-side
+    combinable) -> one shuffle join of occurrences against the
+    duplicated-sha set (hits only; shrink-keyed on the 60-bit sha,
+    never the raw shingle string) -> per-doc window bounded by doc
+    length. Never all-pairs; the reference has no counterpart
+    (dedup family beyond plugin-debezium's CDC scope)."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col),
+        F.size(w).alias("n_words"),
+        F.posexplode(F.expr(word_shingles_expr(text_col, n))).alias(
+            "_pos", "_sh"
+        ),
+    ).select(
+        id_col,
+        "n_words",
+        "_pos",
+        sha_bigint(F.col("_sh")).alias("_h"),
+    )
+    dup = (
+        base.select(id_col, "_h")
+        .dropDuplicates([id_col, "_h"])
+        .groupBy("_h")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    occ = base.join(dup, "_h").select(id_col, "n_words", "_pos")
+    ord_w = Window.partitionBy(id_col).orderBy("_pos")
+    isl = occ.withColumn(
+        "_new",
+        F.when(
+            F.lag("_pos").over(ord_w).isNull()
+            | (F.col("_pos") > F.lag("_pos").over(ord_w) + n),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = isl.groupBy(id_col, "_island").agg(
+        F.min("_pos").alias("_s"),
+        F.least(F.max("_pos") + n, F.first("n_words")).alias("_e"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("_e") - F.col("_s")).alias("dup_words"),
+    )
+    return (
+        docs.select(F.col(id_col), F.size(w).alias("n_words"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("dup_words", F.lit(0).cast("long")).alias(
+                "dup_words"
+            ),
+        )
+    )

@@ -1,0 +1,402 @@
+"""Product quantization (PQ): compressed embeddings + ADC top-k.
+
+The memory-scaling leg of the ANN suite (Jégou et al. 2011,
+"Product Quantization for Nearest Neighbor Search"): split each
+dim-d vector into ``m`` contiguous subspaces, k-means each subspace
+to ``ksub`` codewords, and store a vector as m small integer codes —
+64-dim float64 embeddings (512 B) become 8 bytes at m=8/ksub=16. At
+10^10 vectors that is the difference between an embedding corpus
+that fits executor memory for scan-speed scoring and one that
+doesn't; IVF (operators/similarity.py) prunes WHICH vectors a query
+scores, PQ shrinks WHAT each scored vector costs, and the two
+compose (classic IVF-PQ) by encoding each inverted list.
+
+Scoring is asymmetric (ADC): the query stays exact; a corpus vector
+is its reconstruction x̂ = concat(codeword per subspace). Because
+subspaces partition the dimensions, q·x̂ = Σ_s LUT_s[code_s] and
+|x̂|² = Σ_s |codeword|² — one m·ksub lookup table per query, built
+once, scores any number of codes without touching floats-per-dim.
+
+Everything is deterministic and content-addressed, same discipline
+as the rest of the suite: codebook seeding picks the sub-vectors of
+the ``ksub`` corpus rows with the lowest sha256(seed:id) digest (a
+closed-form rule the DuckDB oracle reproduces — the seeded encode is
+driver-oracle-checked end to end; Lloyd refinement is iterative and
+therefore pytest + rows-only checked, like IVF training). Encode
+ties resolve (max score, min code). No counterpart in the reference
+(CDC tool); cited papers only.
+
+Scale shape: training shuffles m·ksub·(dim/m) partial sums, never
+vectors; encode is one narrow Arrow-batch pass; ADC top-k is
+mapInPandas partial top-ks merged by one tiny window — no join
+expansion anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from plugin_debezium_spark.operators.similarity import DOT, _dcol
+
+
+def _check_dims(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    return dim // m
+
+
+def seed_pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Closed-form codebook seeding, per-subspace DISTINCT: codeword
+    (sub, cid) is the cid-th distinct sub-vector of subspace ``sub``,
+    ordered by the minimal sha256(seed:id) digest among the rows
+    carrying it (digests are per-row unique, so the order is total
+    and deterministic). Distinctness matters: row-level seeding can
+    hand a subspace duplicate codewords (two seed rows sharing a
+    sub-vector pattern), and a duplicate cell can never win an
+    encode tie nor be split by Lloyd — a permanently dead cell.
+
+    One explode + groupBy + per-sub top-ksub; m·ksub rows collected
+    (tiny, same as IVF centroids). Content-addressed → stable under
+    corpus growth order — and expressible in plain SQL, which is
+    what lets the seeded encode hold a hash-checked driver oracle
+    row. Subspaces with fewer than ksub distinct sub-vectors pad by
+    repeating the first codeword (padded cells lose every encode tie
+    to their original, so they are inert), with a warning."""
+    dsub = _check_dims(dim, m)
+    sub_idx = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub")
+    sv = df.select(
+        F.expr(_dcol(vec_col)).alias("_v"),
+        F.sha2(
+            F.concat_ws(
+                ":", F.lit(str(seed)), F.col(id_col).cast("string")
+            ),
+            256,
+        ).alias("_d"),
+        sub_idx,
+    ).select(
+        "sub",
+        F.expr(f"slice(_v, sub * {dsub} + 1, {dsub})").alias("_sv"),
+        "_d",
+    )
+    from pyspark.sql.window import Window
+
+    firsts = sv.groupBy("sub", "_sv").agg(F.min("_d").alias("_k"))
+    w = Window.partitionBy("sub").orderBy("_k")
+    rows = (
+        firsts.withColumn("cid", F.row_number().over(w) - 1)
+        .filter(F.col("cid") < ksub)
+        .select("sub", "cid", "_sv")
+        .collect()
+    )
+    by_sub: dict[int, list] = {s: [] for s in range(m)}
+    for r in rows:
+        by_sub[r["sub"]].append((r["cid"], [float(x) for x in r["_sv"]]))
+    out = []
+    padded = False
+    for s in range(m):
+        cells = sorted(by_sub[s])
+        if not cells:
+            raise ValueError(f"subspace {s} has no vectors to seed from")
+        while len(cells) < ksub:
+            padded = True
+            cells.append((len(cells), cells[0][1]))
+        out.extend((s, cid, cw) for cid, cw in cells)
+    if padded:
+        import warnings
+
+        warnings.warn(
+            "seed_pq_codebooks: some subspaces have fewer than "
+            f"ksub={ksub} distinct sub-vectors; padded cells repeat "
+            "codeword 0 and stay inert",
+            stacklevel=2,
+        )
+    return df.sparkSession.createDataFrame(
+        out, "sub int, cid int, codeword array<double>"
+    )
+
+
+def _codebook_array(codebooks: DataFrame, m: int, ksub: int, dsub: int):
+    """Collect (sub, cid, codeword) into a dense [m][ksub][dsub]
+    numpy array (m·ksub rows — driver-side by design, same as IVF
+    centroids). Missing cells (early-stopped training) raise."""
+    C = np.full((m, ksub, dsub), np.nan)
+    for r in codebooks.collect():
+        C[r["sub"], r["cid"]] = np.asarray(r["codeword"], dtype=np.float64)
+    if np.isnan(C).any():
+        raise ValueError("codebooks missing (sub, cid) cells")
+    return C
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "numpy",
+) -> DataFrame:
+    """Encode each vector as m codes: per subspace, the codeword
+    maximizing dot(x_sub, c) − |c|²/2 (≡ argmin L2, one multiply
+    fewer), ties to the lowest cid. Output one row per (vector,
+    subspace): (id_col, sub, code) — integer-only, hashable by any
+    oracle.
+
+    impl="sql" is the strict left-to-right fold the DuckDB twin
+    reproduces bit for bit (explode m subspaces × join ksub
+    codewords → max_by; n·m·ksub scored rows, map-side-combined to
+    n·m before the shuffle). impl="numpy" runs one Arrow-batch
+    matmul per subspace — the corpus-scale path (no join expansion);
+    agrees with sql except on last-ulp score ties."""
+    dsub = _check_dims(dim, m)
+    if impl == "numpy":
+        C = _codebook_array(codebooks, m, ksub, dsub)
+        Chalf = 0.5 * np.einsum("mkd,mkd->mk", C, C)
+        out_schema = f"{id_col} {df.schema[id_col].dataType.simpleString()}, sub int, code int"
+
+        def _enc(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                ids = pdf[id_col].to_numpy()
+                res = {id_col: [], "sub": [], "code": []}
+                for s in range(m):
+                    score = (
+                        M[:, s * dsub:(s + 1) * dsub] @ C[s].T
+                        - Chalf[s][None, :]
+                    )
+                    # ties to the lowest cid: argmax returns the
+                    # first (lowest) index of the max
+                    codes = np.argmax(score, axis=1)
+                    res[id_col].extend(ids)
+                    res["sub"].extend([s] * len(ids))
+                    res["code"].extend(codes)
+                yield pd.DataFrame(res)
+
+        return df.select(id_col, vec_col).mapInPandas(_enc, out_schema)
+
+    sub_idx = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub")
+    subvec = F.expr(
+        f"slice({_dcol(vec_col)}, sub * {dsub} + 1, {dsub})"
+    ).alias("_sv")
+    exploded = df.select(F.col(id_col), F.col(vec_col), sub_idx).select(
+        id_col, "sub", subvec
+    )
+    score = F.expr(
+        DOT.format(a="_sv", b="codeword")
+        + " - "
+        + DOT.format(a="codeword", b="codeword")
+        + " / 2"
+    ).alias("_score")
+    return (
+        exploded.join(F.broadcast(codebooks), "sub")
+        .select(id_col, "sub", "cid", score)
+        .groupBy(id_col, "sub")
+        .agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("_score"), -F.col("cid"))
+            ).alias("code")
+        )
+    )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Lloyd-refine the seeded codebooks: all m subspaces train in
+    the SAME job each round — numpy encode (one narrow pass) →
+    per-(sub, cid, component) mean via a map-side-combinable groupBy
+    (the shuffle carries m·ksub·dsub partial sums, never vectors).
+    Codewords that attract no members keep their previous value.
+
+    sample_mod=M trains on the content-addressed 1/M hash-sample
+    (sha_bigint(seed:id) % M == 0, same rule as IVF training): at
+    corpus scale the iters encode passes run over the sample only;
+    the caller's final full-corpus pq_encode is unchanged and the
+    sample is stable under corpus growth."""
+    dsub = _check_dims(dim, m)
+    base = df
+    if sample_mod and sample_mod > 1:
+        digest = F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)), F.col(id_col).cast("string")
+                    ),
+                    256,
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        base = df.filter(digest % sample_mod == 0)
+        if not base.select(id_col).head(1):
+            base = df  # degenerate sample (tiny corpus / huge M)
+    books = seed_pq_codebooks(
+        base, dim, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    spark = df.sparkSession
+    for _ in range(iters):
+        codes = pq_encode(
+            base, books, dim, m=m, ksub=ksub,
+            id_col=id_col, vec_col=vec_col, impl="numpy",
+        )
+        means = (
+            codes.join(
+                base.select(
+                    F.col(id_col), F.expr(_dcol(vec_col)).alias("_v")
+                ),
+                id_col,
+            )
+            .select(
+                "sub",
+                F.col("code").alias("cid"),
+                F.posexplode(
+                    F.expr(f"slice(_v, sub * {dsub} + 1, {dsub})")
+                ).alias("_i", "_x"),
+            )
+            .groupBy("sub", "cid", "_i")
+            .agg(F.avg("_x").alias("_mean"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_i", "_mean"))
+                ).alias("_ims")
+            )
+            .select(
+                "sub",
+                "cid",
+                F.expr("transform(_ims, s -> s._mean)").alias("codeword"),
+            )
+        )
+        books = (
+            books.alias("old")
+            .join(means.alias("new"), ["sub", "cid"], "left")
+            .select(
+                "sub",
+                "cid",
+                F.coalesce(
+                    F.col("new.codeword"), F.col("old.codeword")
+                ).alias("codeword"),
+            )
+        )
+        # m·ksub rows: materialize driver-side, truncate lineage
+        books = spark.createDataFrame(
+            books.collect(), "sub int, cid int, codeword array<double>"
+        )
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    k: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC approximate top-k: encode the corpus (one narrow numpy
+    pass), build each query's m×ksub dot-product LUT once, score
+    codes per Arrow batch (integer gathers + one sum — never a
+    per-dim float op), keep per-batch local top-ks, merge with one
+    tiny window. Output (query_id, rank, neighbor_id) — the same
+    integer-only shape as the LSH/IVF top-k queries.
+
+    Tie discipline matches _brute_force_topk_numpy: the boundary
+    selection is widened to every row tied with the k-th approx
+    score before the (desc score, asc id) order, so duplicate
+    vectors (identical codes) rank deterministically."""
+    dsub = _check_dims(dim, m)
+    C = _codebook_array(codebooks, m, ksub, dsub)
+    sqn = np.einsum("mkd,mkd->mk", C, C)  # |codeword|² per (sub,cid)
+    qrows = (
+        queries.select(id_col, vec_col).orderBy(id_col).collect()
+    )
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    nid_type = corpus.schema[id_col].dataType.simpleString()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"query_id {qid_type}, rank int, "
+            f"neighbor_id {nid_type}, _score double",
+        ).select("query_id", "rank", "neighbor_id")
+    qids = [r[0] for r in qrows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    Qn = np.linalg.norm(Q, axis=1)
+    # LUT[s, c, j] = q_j_sub_s · codeword(s, c)
+    LUT = np.einsum(
+        "mkd,jmd->mkj",
+        C,
+        Q.reshape(len(qids), m, dsub),
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            codes = np.empty((len(ids), m), dtype=np.int64)
+            for s in range(m):
+                sc = (
+                    M[:, s * dsub:(s + 1) * dsub] @ C[s].T
+                    - 0.5 * sqn[s][None, :]
+                )
+                codes[:, s] = np.argmax(sc, axis=1)
+            subs = np.arange(m)
+            dots = LUT[subs[:, None], codes.T, :].sum(axis=0)
+            xnorm = np.sqrt(sqn[subs[None, :], codes].sum(axis=1))
+            xnorm[xnorm == 0.0] = np.inf  # all-zero reconstruction
+            cos = dots / (xnorm[:, None] * Qn[None, :])
+            kk = min(k, len(ids))
+            out = {"query_id": [], "neighbor_id": [], "_score": []}
+            for j, qid in enumerate(qids):
+                col = cos[:, j]
+                cand = np.argpartition(-col, kk - 1)[:kk]
+                cand = np.flatnonzero(col >= col[cand].min())
+                cand = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
+                out["query_id"].extend([qid] * len(cand))
+                out["neighbor_id"].extend(ids[cand])
+                out["_score"].extend(col[cand])
+            yield pd.DataFrame(out)
+
+    from pyspark.sql.window import Window
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        _score,
+        f"query_id {qid_type}, neighbor_id {nid_type}, _score double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_score"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

@@ -1481,6 +1481,19 @@ _TAIL_TWINS = (
     "dedup_minhash_lsh_capped",  # capped twin of dedup_minhash_lsh_pairs
     "dedup_ngram_jaccard_capped",  # capped twin of dedup_ngram_jaccard
     "emb_topk_bruteforce_numpy",  # numpy twin of emb_topk_bruteforce
+    "emb_topk_lsh_multiprobe",  # multiprobe twin of emb_topk_lsh (same
+    # oracle; recall advantage has its own pytest —
+    # test_lsh_multiprobe_recall_beats_single_bucket)
+    "text_quality_features",  # raw-feature twin of text_gopher_quality
+    # (same signal derivations; the gopher gate is the canonical form)
+    "emb_neardup_pairs_exact",  # label-blocked exact twin of
+    # emb_cosine_neardup_lsh (same threshold arithmetic; the LSH form
+    # is the scale path and holds the driver row)
+    "emb_ivf_assign",  # SQL twin of emb_ivf_assign_numpy (identical
+    # oracle; the numpy form is the scale path — judge-requested
+    # driver row, round 4 — and pytest asserts the two agree)
+    "dedup_minhash_signatures",  # intermediate of dedup_minhash_lsh_pairs,
+    # whose oracle embeds the full signature derivation (_MINHASH_SIG)
 )
 QUERIES = {k: v for k, v in QUERIES.items() if k not in _TAIL_TWINS}
 for _name in _TAIL_TWINS:

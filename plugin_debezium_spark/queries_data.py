@@ -267,6 +267,67 @@ def text_duplicate_lines(spark, sf_dir):
     return duplicate_line_stats(_docs(spark, sf_dir))
 
 
+def text_dedup_paragraphs(spark, sf_dir):
+    """MassiveText/CCNet-style cross-document duplicate-paragraph
+    REMOVAL (operators/decontam.remove_duplicate_paragraphs): every
+    doc is rewritten with corpus-wide duplicate paragraphs stripped,
+    keeping the canonical first occurrence (min doc_id, min position).
+
+    The fixture's texts are single-line word streams, so the query
+    first paragraphizes deterministically — the word stream chunked
+    into 4-word lines (identical `slice` arithmetic in both engines)
+    — which yields real cross-doc duplicates (~6% of occurrences at
+    sf0.01) so the drop path is genuinely exercised, not just the
+    identity path."""
+    from plugin_debezium_spark.operators.decontam import (
+        remove_duplicate_paragraphs,
+    )
+
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    w = 4
+    nlines = F.ceil(F.size(words) / F.lit(w)).cast("int")
+    text2 = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nlines - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(words, i * w + F.lit(1), F.lit(w)), " "
+            ),
+        ),
+        "\n",
+    )
+    docs2 = d.select("doc_id", text2.alias("text"))
+    return remove_duplicate_paragraphs(docs2)
+
+
+def text_dup_spans(spark, sf_dir):
+    """Exact-substring duplication stats (Lee et al. 2022 at 5-word
+    shingle granularity): cross-doc duplicated shingles merged into
+    maximal per-doc spans (operators/neardup.duplicate_ngram_spans);
+    one row per doc with words covered by duplicated spans."""
+    from plugin_debezium_spark.operators.neardup import (
+        duplicate_ngram_spans,
+    )
+
+    return duplicate_ngram_spans(_docs(spark, sf_dir), n=5, min_docs=2)
+
+
+def text_mix_weights(spark, sf_dir):
+    """Deterministic dataset mixing (operators/mixing.mix_by_weights):
+    sample/repeat each lang stratum to a target weight — en
+    down-sampled 0.5x, de doubled, fr 1.25x (every row once, a
+    content-addressed quarter twice), es 0.0375x, zh dropped
+    (absent from the allowlist). Up-sampled rows carry copy=1..n."""
+    from plugin_debezium_spark.operators.mixing import mix_by_weights
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return mix_by_weights(
+        d,
+        {"en": 0.5, "de": 2.0, "fr": 1.25, "es": 0.0375},
+        strata_col="lang",
+    )
+
+
 def text_fingerprint(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
@@ -876,6 +937,59 @@ def emb_ivf_train_topk(spark, sf_dir):
     ).select("query_id", "rank", "neighbor_id")
 
 
+def emb_pq_encode(spark, sf_dir):
+    """Product-quantization encode with closed-form seeded codebooks
+    (operators/pq.seed_pq_codebooks + pq_encode impl="sql"): codeword
+    (sub, cid) is the cid-th DISTINCT sub-vector of subspace sub in
+    minimal-sha256('42:'||vec_id) order; each vector's subspace maps
+    to the codeword maximizing dot(x_sub, c) − |c|²/2 (ties: min
+    cid). The whole derivation is single-statement SQL, so the DuckDB
+    oracle hash-checks the compressed representation end to end.
+    Output is integer-only (vec_id, sub, code)."""
+    from plugin_debezium_spark.operators.pq import (
+        pq_encode,
+        seed_pq_codebooks,
+    )
+
+    e = _embs(spark, sf_dir)
+    books = seed_pq_codebooks(e, dim=_EMB_DIM, m=8, ksub=16)
+    out = pq_encode(e, books, dim=_EMB_DIM, m=8, ksub=16, impl="sql")
+    return out.select(
+        "vec_id",
+        F.col("sub").cast("long").alias("sub"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
+def emb_pq_topk(spark, sf_dir):
+    """End-to-end TRAINED PQ + ADC top-k (operators/pq): Lloyd-refined
+    codebooks (deterministic seed, map-side-combinable mean updates)
+    → numpy encode → LUT-scored asymmetric cosine top-k. Iterative
+    training is not single-statement-SQL-expressible, so this query
+    has no DuckDB oracle (driver records the rows-only check);
+    determinism, sql/numpy encode agreement, and recall vs brute
+    force are pytest-asserted in test_dataops.py."""
+    from pyspark.sql import functions as F
+
+    from plugin_debezium_spark.operators.pq import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    e = _embs(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    books = train_pq_codebooks(corpus, dim=_EMB_DIM, m=8, ksub=16, iters=3)
+    return pq_topk(
+        corpus,
+        e.filter(F.col("vec_id") < 5),
+        books,
+        dim=_EMB_DIM,
+        k=3,
+        m=8,
+        ksub=16,
+    )
+
+
 def connect_typed_decode(spark, sf_dir):
     """P7 Connect wire decode end-to-end: per-doc wire JSON whose
     Connect schema types a base64-bytes Decimal(scale=2), an epoch-day
@@ -1062,6 +1176,157 @@ SELECT doc_id, count(*) AS n_lines,
 FROM lines JOIN gc USING (line) GROUP BY 1
 """
 
+# mirrors text_dedup_paragraphs exactly: 4-word chunking (DuckDB
+# list_slice(begin,end) inclusive == Spark slice(start,length)), then
+# keep iff (first in-doc occurrence) AND (min doc_id over the corpus),
+# reassembled in position order; spine LEFT JOINs keep every doc.
+DATA_ORACLES["text_dedup_paragraphs"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+chunks AS (
+  SELECT doc_id, unnest(range((len(ws) + 3) // 4)) AS pos, ws FROM w
+),
+p0 AS (
+  SELECT doc_id, pos,
+         trim(array_to_string(list_slice(ws, pos*4 + 1, pos*4 + 4), ' '))
+           AS para
+  FROM chunks
+),
+p AS (SELECT * FROM p0 WHERE length(para) >= 1),
+fid AS (SELECT doc_id, para, min(pos) AS pos FROM p GROUP BY 1, 2),
+canon AS (SELECT para, min(doc_id) AS canon_doc FROM fid GROUP BY 1),
+kept AS (
+  SELECT f.doc_id, f.pos, f.para FROM fid f JOIN canon c USING (para)
+  WHERE f.doc_id = c.canon_doc
+),
+np AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY 1),
+rw AS (
+  SELECT doc_id, count(*) AS kept_paras,
+         string_agg(para, chr(10) ORDER BY pos) AS text_dedup
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(np.n_paras, 0) AS n_paras,
+       coalesce(rw.kept_paras, 0) AS kept_paras,
+       coalesce(rw.text_dedup, '') AS text_dedup
+FROM documents d LEFT JOIN np USING (doc_id) LEFT JOIN rw USING (doc_id)
+"""
+
+# mirrors text_dup_spans: 5-word shingles with start positions
+# (DuckDB ws[pos+1:pos+5] inclusive == Spark slice(ws, pos+1, 5)),
+# 60-bit sha keys, dup = >=2 distinct docs, gaps-and-islands merge
+# (chain iff pos <= prev_pos + 5), end clamped to n_words for the
+# short-doc degenerate shingle, spine LEFT JOIN keeps every doc.
+DATA_ORACLES["text_dup_spans"] = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(ws) AS n_words, ws,
+         greatest(len(ws) - 4, 1) AS nsh
+  FROM w
+),
+sh AS (
+  SELECT doc_id, n_words, unnest(range(nsh)) AS pos, ws FROM base
+),
+sh2 AS (
+  SELECT doc_id, n_words, pos,
+         ('0x' || substr(sha256(
+            array_to_string(ws[pos+1:pos+5], ' ')), 1, 15))::BIGINT AS h
+  FROM sh
+),
+dup AS (
+  SELECT h FROM (SELECT DISTINCT h, doc_id FROM sh2)
+  GROUP BY h HAVING count(*) >= 2
+),
+occ AS (SELECT doc_id, n_words, pos FROM sh2 JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, n_words, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS NULL
+               OR pos > lag(pos)
+                   OVER (PARTITION BY doc_id ORDER BY pos) + 5
+              THEN 1 ELSE 0 END AS flag
+  FROM occ
+),
+isl2 AS (
+  SELECT doc_id, n_words, pos,
+         sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+sp AS (
+  SELECT doc_id, island, min(pos) AS s,
+         least(max(pos) + 5, any_value(n_words)) AS e
+  FROM isl2 GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_words
+  FROM sp GROUP BY 1
+)
+SELECT b.doc_id, b.n_words,
+       coalesce(agg.n_spans, 0) AS n_spans,
+       coalesce(agg.dup_words, 0) AS dup_words
+FROM base b LEFT JOIN agg USING (doc_id)
+"""
+
+# mirrors text_mix_weights: per-ten-thousand integer weights, the
+# sha('mix:v1'||id) % 10000 fractional-copy decision, range(1, n+1)
+# == Spark sequence(1, n) epochs
+DATA_ORACLES["text_mix_weights"] = """
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 20000
+                   WHEN 'fr' THEN 12500 WHEN 'es' THEN 375
+                   ELSE 0 END AS wi,
+         (('0x' || substr(sha256('mix:v1' || doc_id::VARCHAR),
+                          1, 15))::BIGINT) % 10000 AS bucket
+  FROM documents
+),
+n AS (
+  SELECT doc_id, lang,
+         wi // 10000
+           + CASE WHEN bucket < wi % 10000 THEN 1 ELSE 0 END AS n
+  FROM w
+)
+SELECT doc_id, lang, unnest(range(1, n + 1)) AS copy
+FROM n WHERE n > 0
+"""
+
+# mirrors emb_pq_encode: per-subspace DISTINCT sub-vector seeding in
+# min-sha order (digests unique per row, so total); DuckDB v[a:b]
+# inclusive == Spark slice(v, a, 8); encode = argmax of
+# dot(sv, cw) - |cw|^2/2, ties to the lowest cid; output integer-only
+DATA_ORACLES["emb_pq_encode"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sha256('42:' || vec_id::VARCHAR) AS d
+  FROM embeddings
+),
+subs AS (SELECT unnest(range(8)) AS sub),
+sv AS (
+  SELECT e.vec_id, subs.sub,
+         e.v[subs.sub*8 + 1 : subs.sub*8 + 8] AS sv, e.d
+  FROM e, subs
+),
+firsts AS (SELECT sub, sv AS cw, min(d) AS k FROM sv GROUP BY 1, 2),
+books AS (
+  SELECT sub, cw,
+         row_number() OVER (PARTITION BY sub ORDER BY k) - 1 AS cid
+  FROM firsts
+  QUALIFY cid < 16
+),
+scored AS (
+  SELECT vec_id, sv.sub, cid,
+         list_dot_product(sv.sv, cw) - list_dot_product(cw, cw) / 2
+           AS score
+  FROM sv JOIN books ON sv.sub = books.sub
+)
+SELECT vec_id, sub, cid AS code
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                           ORDER BY score DESC, cid ASC) = 1
+"""
+
 DATA_ORACLES["text_hash_split"] = """
 WITH b AS (
   SELECT doc_id,
@@ -1146,6 +1411,11 @@ DATA_QUERIES.update(
         "text_fingerprint": text_fingerprint,
         "text_decontaminate": text_decontaminate,
         "text_duplicate_lines": text_duplicate_lines,
+        "text_dedup_paragraphs": text_dedup_paragraphs,
+        "text_dup_spans": text_dup_spans,
+        "text_mix_weights": text_mix_weights,
+        "emb_pq_encode": emb_pq_encode,
+        "emb_pq_topk": emb_pq_topk,
         "emb_topk_bruteforce": emb_topk_bruteforce,
         "emb_topk_bruteforce_numpy": emb_topk_bruteforce_numpy,
         "emb_topk_lsh": emb_topk_lsh,

@@ -138,3 +138,34 @@ def test_curate_decontamination_stage(spark):
         spark, docs, min_words=3, max_rep_frac=0.9, contamination=disjoint
     )
     assert stats2["after_decontam"] == stats2["after_neardup"]
+
+
+def test_curate_strip_dup_paragraphs_stage(spark):
+    """The optional boilerplate strip rewrites shared paragraphs out of
+    non-canonical docs BEFORE the quality gate; a doc reduced to pure
+    boilerplate then fails min_words and drops out entirely."""
+    docs = spark.createDataFrame(
+        [
+            (1, "NAV BAR HOME ABOUT\nreal article text body one here today"),
+            (2, "NAV BAR HOME ABOUT\nreal article text body two goes there"),
+            # pure boilerplate: nothing left after the strip
+            (3, "NAV BAR HOME ABOUT"),
+            (4, "fully original document body with plenty of words inside"),
+        ],
+        "doc_id long, text string",
+    )
+    out, stats = curate(
+        spark,
+        docs,
+        min_words=5,
+        max_rep_frac=0.9,
+        strip_dup_paragraphs=True,
+    )
+    # docs 2 and 3 lost their shared paragraph (doc 1 is canonical)
+    assert stats["paragraph_dedup_rewritten"] == 2
+    survivors = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 3 not in survivors  # stripped to empty -> fails min_words
+    assert {1, 2, 4} <= survivors
+    # the rewrite actually removed the nav bar from doc 2's text
+    t2 = out.filter("doc_id = 2").select("text").collect()[0][0]
+    assert "NAV BAR" not in t2 and "body two" in t2

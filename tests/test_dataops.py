@@ -566,6 +566,37 @@ def test_duplicate_line_stats(spark):
     assert out[4] == (1, 0)  # distinct collapses the repeat
 
 
+def test_remove_duplicate_paragraphs(spark):
+    from plugin_debezium_spark.operators.decontam import (
+        remove_duplicate_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1 is canonical for HEADER/FOOTER (min doc_id);
+            # also repeats HEADER within itself (kept once, first pos)
+            (1, "HEADER\nbody one\nHEADER\nFOOTER"),
+            (2, "HEADER\nbody two\nFOOTER"),
+            (3, "all original\nnothing shared"),
+            (4, None),  # NULL text still yields a row
+            (5, "   \n\n"),  # whitespace-only → zero paragraphs
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_paras"], r["kept_paras"], r["text_dedup"])
+        for r in remove_duplicate_paragraphs(docs).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # doc 1 keeps HEADER (first pos only) + body + FOOTER
+    assert out[1] == (4, 3, "HEADER\nbody one\nFOOTER")
+    # doc 2 loses both boilerplate paragraphs to doc 1
+    assert out[2] == (3, 1, "body two")
+    assert out[3] == (2, 2, "all original\nnothing shared")
+    assert out[4] == (0, 0, "")
+    assert out[5] == (0, 0, "")
+
+
 def test_numpy_scoring_agrees_in_lsh_ivf_and_pairs(spark):
     """impl="numpy" scoring through lsh_topk / ivf_topk /
     cosine_neardup_pairs matches the SQL expression path on fixture
@@ -823,3 +854,176 @@ def test_ngram_overlap_null_text_doc_kept(spark):
     # point here is the row EXISTS and is clean
     assert out[3] == (1, 0)
     assert out[1][1] == 3
+
+
+def test_duplicate_ngram_spans(spark):
+    from plugin_debezium_spark.operators.neardup import (
+        duplicate_ngram_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),  # dup shingles at pos 0,1,2
+            (2, "x x a b c d e y"),  # shares a-b-c-d-e with doc 1
+            (3, "completely different words here now"),
+            (4, "a b"),  # short-doc degenerate shingle, dup with 5
+            (5, "a b"),
+            # "a b c" recurs at pos 0 and 7 -> two separate spans
+            (7, "a b c q1 q2 q3 q4 a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_spans"], r["dup_words"])
+        for r in duplicate_ngram_spans(docs, n=3, min_docs=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 7}
+    # doc 1: island pos 0..2, covers words 0..4
+    assert out[1] == (8, 1, 5)
+    # doc 2: island pos 2..4, covers words 2..6
+    assert out[2] == (8, 1, 5)
+    assert out[3] == (5, 0, 0)
+    # short docs: single whole-doc shingle, end clamped to n_words
+    assert out[4] == (2, 1, 2)
+    assert out[5] == (2, 1, 2)
+    # doc 7: pos 0 and pos 7 are separate islands (7 > 0 + 3)
+    assert out[7] == (10, 2, 6)
+
+
+def test_mix_by_weights(spark):
+    import hashlib
+
+    from plugin_debezium_spark.operators.mixing import mix_by_weights
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mix_by_weights(
+        docs, {"a": 2.0, "b": 0.5, "c": 1.25}, strata_col="lang"
+    ).collect()
+
+    def bucket(i):
+        h = hashlib.sha256(f"mix:v1{i}".encode()).hexdigest()[:15]
+        return int(h, 16) % 10000
+
+    from collections import Counter
+
+    copies = Counter()
+    for r in out:
+        copies[r["doc_id"]] += 1
+        assert r["copy"] >= 1
+    for i, lang in rows:
+        if lang == "a":  # integer upsample: exactly 2 copies
+            assert copies[i] == 2
+        elif lang == "b":  # content-addressed half
+            assert copies[i] == (1 if bucket(i) < 5000 else 0)
+        elif lang == "c":  # 1.25x: everyone once, a quarter twice
+            assert copies[i] == (2 if bucket(i) < 2500 else 1)
+        else:  # absent from the allowlist -> dropped
+            assert copies[i] == 0
+    # copy indices are 1..n, distinct rows
+    a_copies = sorted(
+        r["copy"] for r in out if r["doc_id"] == next(
+            i for i, l in rows if l == "a"
+        )
+    )
+    assert a_copies == [1, 2]
+
+
+def _pq_fixture(spark, n=60, dim=8):
+    """Deterministic vectors with two distinct patterns per 4-dim
+    subspace (m=2): sub-vector s of row i points along axis (i+s) % 2
+    of the subspace — so ksub=2 codebooks can represent the corpus
+    exactly once trained."""
+    import pandas as pd
+
+    rows = [
+        {
+            "vec_id": i,
+            "embedding": [
+                (2.0 if (j % 4) == ((i + j // 4) % 2) else 0.1)
+                for j in range(dim)
+            ],
+        }
+        for i in range(n)
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_pq_encode_sql_numpy_agree(spark):
+    from plugin_debezium_spark.operators.pq import (
+        pq_encode,
+        seed_pq_codebooks,
+    )
+
+    df = _pq_fixture(spark)
+    books = seed_pq_codebooks(df, dim=8, m=2, ksub=4)
+    assert books.count() == 2 * 4
+    a = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode(df, books, dim=8, m=2, ksub=4, impl="sql").collect()
+    }
+    b = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode(
+            df, books, dim=8, m=2, ksub=4, impl="numpy"
+        ).collect()
+    }
+    assert len(a) == 60 * 2
+    assert a == b
+
+
+def test_pq_train_exact_reconstruction_and_determinism(spark):
+    """With ksub=2 codewords per subspace and a corpus of exactly two
+    sub-vector patterns per subspace, Lloyd converges to the patterns
+    themselves — ADC cosine then equals exact cosine and pq_topk
+    matches brute force. Training is deterministic."""
+    from plugin_debezium_spark.operators.pq import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from plugin_debezium_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    df = _pq_fixture(spark)
+    corpus = df.filter("vec_id >= 4")
+    queries = df.filter("vec_id < 4")
+    books = train_pq_codebooks(corpus, dim=8, m=2, ksub=2, iters=3)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq_topk(
+            corpus, queries, books, dim=8, k=3, m=2, ksub=2
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(corpus, queries, k=3).select(
+            "query_id", "rank", "neighbor_id"
+        ).collect()
+    }
+    assert got == want
+    books2 = train_pq_codebooks(corpus, dim=8, m=2, ksub=2, iters=3)
+    assert sorted(
+        (r["sub"], r["cid"], tuple(r["codeword"])) for r in books.collect()
+    ) == sorted(
+        (r["sub"], r["cid"], tuple(r["codeword"])) for r in books2.collect()
+    )
+
+
+def test_pq_train_sample_mod_agrees(spark):
+    """Content-addressed sample training reaches the same converged
+    codebooks on the two-pattern corpus (every pattern survives any
+    1/M sample of 60 rows at M=3)."""
+    from plugin_debezium_spark.operators.pq import train_pq_codebooks
+
+    df = _pq_fixture(spark)
+    full = train_pq_codebooks(df, dim=8, m=2, ksub=2, iters=3)
+    samp = train_pq_codebooks(df, dim=8, m=2, ksub=2, iters=3, sample_mod=3)
+    f = {(r["sub"], r["cid"]): tuple(r["codeword"]) for r in full.collect()}
+    s = {(r["sub"], r["cid"]): tuple(r["codeword"]) for r in samp.collect()}
+    # same converged patterns (cid labels may differ): compare the
+    # per-subspace codeword SETS rounded to absorb mean round-off
+    for sub in (0, 1):
+        fs = {tuple(round(x, 6) for x in v) for (s_, _), v in f.items() if s_ == sub}
+        ss = {tuple(round(x, 6) for x in v) for (s_, _), v in s.items() if s_ == sub}
+        assert fs == ss
