@@ -310,6 +310,208 @@ def train_pq_codebooks(
     return books
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    k: int = 3,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "sql",
+) -> DataFrame:
+    """IVF-PQ composed top-k (the classic billion-scale ANN index,
+    Jégou et al. 2011 §V): the IVF coarse quantizer prunes WHICH
+    vectors a query scores (each vector lives in its nearest
+    centroid's inverted list, a query probes its nprobe nearest
+    lists), and PQ shrinks WHAT each scored vector costs (m small
+    integer codes instead of dim floats). Scoring is asymmetric
+    (ADC): cosine(query, x̂) where x̂ is the PQ reconstruction.
+    Output (query_id, rank, neighbor_id) — integer-only, ties
+    (desc cosine, asc neighbor_id).
+
+    impl="sql" reconstructs x̂ explicitly (codes → broadcast codebook
+    join → flatten in subspace order) and scores with the strict
+    left-to-right fold — every step is single-statement-SQL, which is
+    what lets the seeded-codebook form hold a hash-checked driver
+    oracle (the trained PQ/IVF queries only get rows-only checks).
+    impl="numpy" is the corpus-scale shape: ONE narrow mapInPandas
+    pass builds the compressed index row (cid + m codes ≈ 16 bytes
+    per vector vs 8·dim) — assign and encode share the batch, so
+    there is no corpus-size join between them — then a second pass
+    LUT-scores only the rows whose list some query probes; per-batch
+    tie-aware local top-ks merge through one tiny window. At 10^10
+    vectors the scoring pass touches integer codes, never floats per
+    dim, and the probe mask prunes the per-query work to nprobe/k_c
+    of the corpus. Direct (non-residual) encoding: cosine ADC does
+    not need the L2 residual trick and direct codes keep the encode
+    oracle-expressible; the residual variant is a training-time
+    refinement, not a different plan shape."""
+    from plugin_debezium_spark.operators.similarity import (
+        dot_over_norms,
+        ivf_assign,
+        norm_expr,
+    )
+
+    dsub = _check_dims(dim, m)
+    if impl == "sql":
+        cl = ivf_assign(
+            corpus, centroids, 1, id_col, vec_col, impl="sql"
+        ).select(F.col(id_col).alias("neighbor_id"), "cid")
+        codes = pq_encode(
+            corpus, codebooks, dim, m=m, ksub=ksub,
+            id_col=id_col, vec_col=vec_col, impl="sql",
+        )
+        xhat = (
+            codes.join(
+                F.broadcast(codebooks.withColumnRenamed("cid", "code")),
+                ["sub", "code"],
+            )
+            .groupBy(id_col)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("sub", "codeword"))
+                ).alias("_sc")
+            )
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                F.flatten(
+                    F.expr("transform(_sc, s -> s.codeword)")
+                ).alias("_xhat"),
+            )
+        )
+        cside = cl.join(xhat, "neighbor_id").withColumn(
+            "_xn", F.expr(norm_expr("_xhat"))
+        )
+        ql = ivf_assign(
+            queries, centroids, nprobe, id_col, vec_col, impl="sql"
+        ).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            F.expr(norm_expr(vec_col)).alias("_qn"),
+            "cid",
+        )
+        scored = cside.join(F.broadcast(ql), "cid").withColumn(
+            "_cos", F.expr(dot_over_norms("_qvec", "_xhat", "_qn", "_xn"))
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("_cos"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id")
+        )
+
+    # ---- numpy corpus-scale path ----
+    C = _codebook_array(codebooks, m, ksub, dsub)
+    sqn = np.einsum("mkd,mkd->mk", C, C)
+    crows = centroids.orderBy("cid").collect()
+    cids_arr = np.array([r["cid"] for r in crows], dtype=np.int64)
+    CM = np.stack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in crows]
+    )
+    CMn = np.linalg.norm(CM, axis=1)
+    qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    nid_type = corpus.schema[id_col].dataType.simpleString()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"query_id {qid_type}, rank int, neighbor_id {nid_type}",
+        )
+    qids = [r[0] for r in qrows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    Qn = np.linalg.norm(Q, axis=1)
+    # per-query probe sets: nprobe nearest centroids, ties to asc cid
+    qcos = (Q @ CM.T) / np.maximum(Qn[:, None] * CMn[None, :], 1e-300)
+    probes = []
+    for j in range(len(qids)):
+        order = np.lexsort((cids_arr, -qcos[j]))[:nprobe]
+        probes.append(set(cids_arr[order].tolist()))
+    LUT = np.einsum("mkd,jmd->mkj", C, Q.reshape(len(qids), m, dsub))
+
+    def _index(batches):
+        """One narrow pass: coarse-assign AND encode each batch —
+        the compressed index row (id, cid, m codes), no join."""
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            Mn = np.maximum(np.linalg.norm(M, axis=1), 1e-300)
+            cc = (M @ CM.T) / (Mn[:, None] * CMn[None, :])
+            # argmax takes the FIRST max; cids_arr ascending → min-cid ties
+            cid = cids_arr[np.argmax(cc, axis=1)]
+            codes = np.empty((len(ids), m), dtype=np.int32)
+            for s in range(m):
+                sc = (
+                    M[:, s * dsub:(s + 1) * dsub] @ C[s].T
+                    - 0.5 * sqn[s][None, :]
+                )
+                codes[:, s] = np.argmax(sc, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "cid": cid,
+                    "codes": list(codes),
+                }
+            )
+
+    idx = corpus.select(id_col, vec_col).mapInPandas(
+        _index, f"{id_col} {nid_type}, cid long, codes array<int>"
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            rcids = pdf["cid"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            subs = np.arange(m)
+            dots = LUT[subs[:, None], codes.T, :].sum(axis=0)
+            xnorm = np.sqrt(sqn[subs[None, :], codes].sum(axis=1))
+            xnorm[xnorm == 0.0] = np.inf
+            cos = dots / (xnorm[:, None] * Qn[None, :])
+            out = {"query_id": [], "neighbor_id": [], "_score": []}
+            for j, qid in enumerate(qids):
+                mask = np.isin(rcids, list(probes[j]))
+                if not mask.any():
+                    continue
+                col = cos[mask, j]
+                mids = ids[mask]
+                kk = min(k, len(mids))
+                cand = np.argpartition(-col, kk - 1)[:kk]
+                cand = np.flatnonzero(col >= col[cand].min())
+                cand = cand[np.lexsort((mids[cand], -col[cand]))][:kk]
+                out["query_id"].extend([qid] * len(cand))
+                out["neighbor_id"].extend(mids[cand])
+                out["_score"].extend(col[cand])
+            yield pd.DataFrame(out)
+
+    cand = idx.mapInPandas(
+        _score,
+        f"query_id {qid_type}, neighbor_id {nid_type}, _score double",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_score"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

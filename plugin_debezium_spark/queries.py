@@ -1494,6 +1494,10 @@ _TAIL_TWINS = (
     # driver row, round 4 — and pytest asserts the two agree)
     "dedup_minhash_signatures",  # intermediate of dedup_minhash_lsh_pairs,
     # whose oracle embeds the full signature derivation (_MINHASH_SIG)
+    "emb_pq_topk",  # trained-codebook ADC twin of emb_ivfpq_topk;
+    # training is iterative → rows-only check, while emb_ivfpq_topk
+    # hash-checks the same ADC scoring + routing end to end with
+    # seeded codebooks; training determinism/recall stay pytest-covered
 )
 QUERIES = {k: v for k, v in QUERIES.items() if k not in _TAIL_TWINS}
 for _name in _TAIL_TWINS:

@@ -990,6 +990,46 @@ def emb_pq_topk(spark, sf_dir):
     )
 
 
+def emb_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed ANN (operators/pq.ivfpq_topk, impl="sql"):
+    coarse IVF routing (fixed centroids vec_id 5..8, same as
+    emb_topk_ivf) prunes which corpus vectors each query scores;
+    PQ ADC scores cosine(query, x̂) against the reconstruction from
+    closed-form seeded codebooks (per-subspace distinct sub-vectors
+    in min-sha order, seeded on the CORPUS side — the index is built
+    from what it indexes). Every step — seeding, encode, argmax
+    routing, reconstruction, strict-fold cosine, rank window — is
+    single-statement SQL, so unlike the trained-PQ/IVF queries this
+    composition holds a full hash-checked oracle. The numpy path
+    (one narrow assign+encode pass, LUT scoring over probed lists
+    only) is the corpus-scale twin, pytest-asserted to agree."""
+    from pyspark.sql import functions as F
+
+    from plugin_debezium_spark.operators.pq import (
+        ivfpq_topk,
+        seed_pq_codebooks,
+    )
+
+    e = _embs(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    cent = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") <= 8)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    books = seed_pq_codebooks(corpus, dim=_EMB_DIM, m=8, ksub=16)
+    return ivfpq_topk(
+        corpus,
+        e.filter(F.col("vec_id") < 5),
+        cent,
+        books,
+        dim=_EMB_DIM,
+        k=3,
+        nprobe=2,
+        m=8,
+        ksub=16,
+        impl="sql",
+    )
+
+
 def connect_typed_decode(spark, sf_dir):
     """P7 Connect wire decode end-to-end: per-doc wire JSON whose
     Connect schema types a base64-bytes Decimal(scale=2), an epoch-day
@@ -1327,6 +1367,77 @@ QUALIFY row_number() OVER (PARTITION BY vec_id, sub
                            ORDER BY score DESC, cid ASC) = 1
 """
 
+# mirrors emb_ivfpq_topk end to end: corpus-seeded codebooks (distinct
+# sub-vectors, min-sha order), encode = argmax dot(sv,cw)-|cw|^2/2,
+# x̂ = flatten(codewords in subspace order), coarse routing on exact
+# cosine vs centroids vec_id 5..8 (corpus: nearest 1 list; queries:
+# nearest 2), ADC score = strict-fold cosine(query, x̂), rank ties
+# (desc cosine, asc neighbor_id)
+DATA_ORACLES["emb_ivfpq_topk"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sha256('42:' || vec_id::VARCHAR) AS d
+  FROM embeddings
+),
+corp AS (SELECT * FROM e WHERE vec_id >= 5),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         WHERE vec_id BETWEEN 5 AND 8),
+subs AS (SELECT unnest(range(8)) AS sub),
+sv AS (
+  SELECT corp.vec_id, subs.sub,
+         corp.v[subs.sub*8 + 1 : subs.sub*8 + 8] AS sv, corp.d
+  FROM corp, subs
+),
+firsts AS (SELECT sub, sv AS cw, min(d) AS k FROM sv GROUP BY 1, 2),
+books AS (
+  SELECT sub, cw,
+         row_number() OVER (PARTITION BY sub ORDER BY k) - 1 AS cid
+  FROM firsts
+  QUALIFY cid < 16
+),
+codes AS (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT vec_id, sv.sub, cid,
+           list_dot_product(sv.sv, cw) - list_dot_product(cw, cw) / 2
+             AS score
+    FROM sv JOIN books ON sv.sub = books.sub)
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY score DESC, cid ASC) = 1
+),
+xhat AS (
+  SELECT vec_id, flatten(list(cw ORDER BY books.sub)) AS xv
+  FROM codes JOIN books
+    ON codes.sub = books.sub AND codes.code = books.cid
+  GROUP BY vec_id
+),
+cassign AS (
+  SELECT vec_id AS neighbor_id, cid FROM (
+    SELECT c.vec_id, t.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {_COS.format(a='c.v', b='t.cv')} DESC, t.cid ASC) AS r
+    FROM corp c, cent t) WHERE r = 1
+),
+qassign AS (
+  SELECT vec_id AS query_id, v AS qvec, cid FROM (
+    SELECT q.vec_id, q.v, t.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_COS.format(a='q.v', b='t.cv')} DESC, t.cid ASC) AS r
+    FROM e q, cent t WHERE q.vec_id < 5) WHERE r <= 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS.format(a='qvec', b='xv')} AS cosine
+  FROM cassign
+  JOIN xhat ON cassign.neighbor_id = xhat.vec_id
+  JOIN qassign USING (cid)
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
 DATA_ORACLES["text_hash_split"] = """
 WITH b AS (
   SELECT doc_id,
@@ -1415,6 +1526,7 @@ DATA_QUERIES.update(
         "text_dup_spans": text_dup_spans,
         "text_mix_weights": text_mix_weights,
         "emb_pq_encode": emb_pq_encode,
+        "emb_ivfpq_topk": emb_ivfpq_topk,
         "emb_pq_topk": emb_pq_topk,
         "emb_topk_bruteforce": emb_topk_bruteforce,
         "emb_topk_bruteforce_numpy": emb_topk_bruteforce_numpy,

@@ -1027,3 +1027,75 @@ def test_pq_train_sample_mod_agrees(spark):
         fs = {tuple(round(x, 6) for x in v) for (s_, _), v in f.items() if s_ == sub}
         ss = {tuple(round(x, 6) for x in v) for (s_, _), v in s.items() if s_ == sub}
         assert fs == ss
+
+
+def _ivfpq_setup(spark):
+    """Fixture + index pieces for IVF-PQ: two centroids (rows 4 and
+    5 carry the two alternating patterns), seeded ksub=2 codebooks —
+    on the two-pattern corpus seeding alone captures every distinct
+    sub-vector, so PQ reconstruction is EXACT (x̂ == x)."""
+    from pyspark.sql import functions as F
+
+    from plugin_debezium_spark.operators.pq import seed_pq_codebooks
+
+    df = _pq_fixture(spark)
+    corpus = df.filter("vec_id >= 4")
+    queries = df.filter("vec_id < 4")
+    cent = df.filter("vec_id IN (4, 5)").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    books = seed_pq_codebooks(corpus, dim=8, m=2, ksub=2)
+    return corpus, queries, cent, books
+
+
+def test_ivfpq_full_probe_lossless_equals_bruteforce(spark):
+    """nprobe = n_lists (probe everything) + lossless codebooks →
+    IVF-PQ degrades to exact search: must equal brute force,
+    including tie order (duplicate vectors everywhere in the
+    two-pattern corpus)."""
+    from plugin_debezium_spark.operators.pq import ivfpq_topk
+    from plugin_debezium_spark.operators.similarity import brute_force_topk
+
+    corpus, queries, cent, books = _ivfpq_setup(spark)
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(corpus, queries, k=3)
+        .select("query_id", "rank", "neighbor_id")
+        .collect()
+    }
+    for impl in ("sql", "numpy"):
+        got = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivfpq_topk(
+                corpus, queries, cent, books,
+                dim=8, k=3, nprobe=2, m=2, ksub=2, impl=impl,
+            ).collect()
+        }
+        assert got == want, impl
+
+
+def test_ivfpq_sql_numpy_agree_single_probe(spark):
+    """nprobe=1 prunes genuinely (each query scores one list only);
+    the sql oracle form and the numpy index-pass form must return the
+    same ranked neighbors."""
+    from plugin_debezium_spark.operators.pq import ivfpq_topk
+
+    corpus, queries, cent, books = _ivfpq_setup(spark)
+    a = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivfpq_topk(
+            corpus, queries, cent, books,
+            dim=8, k=3, nprobe=1, m=2, ksub=2, impl="sql",
+        ).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivfpq_topk(
+            corpus, queries, cent, books,
+            dim=8, k=3, nprobe=1, m=2, ksub=2, impl="numpy",
+        ).collect()
+    }
+    assert a and a == b
+    # pruning is real: nprobe=1 returns a subset of each query's
+    # nprobe=2 candidate pool, never more rows per query
+    assert len(a) <= 4 * 3
