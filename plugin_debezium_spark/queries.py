@@ -656,6 +656,82 @@ def cdc_replay_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_replay_tx_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-aligned epoch boundaries end-to-end
+    (EngineConfig.tx_align; sources/log_reader.
+    align_epochs_to_transactions): the log groups events into
+    10-event transactions whose ranges straddle the 400-LSN bucket
+    boundaries (id = (lsn+5)//10 — the transaction block the
+    reference surfaces on every message, Envelope.java:36-37). One
+    aligned epoch is applied (max_batches=1): the engine must lower
+    the first boundary to just below the straddling transaction's
+    first LSN, so the committed state contains COMPLETE transactions
+    only. The oracle recomputes the cut in closed form — the first
+    bucket's max LSN, lowered past any transaction spanning it — and
+    LWWs up to it."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from plugin_debezium_spark.plans.lake import LakeTable
+    from plugin_debezium_spark.streaming.engine import EngineConfig, run
+
+    env = envelopes_from_events(spark, sf_dir)
+    null_s = F.lit(None).cast("string")
+    tx_seq = ((F.col("lsn") + 5) / 10).cast("long")
+    log = env.select(
+        "lsn",
+        "ts_ms",
+        "op",
+        F.struct("repo", "path", "commit").alias("key"),
+        null_s.alias("before_json"),
+        F.when(F.col("op") == "d", null_s)
+        .otherwise(
+            F.to_json(F.struct("repo", "path", "commit", "lang", "content"))
+        )
+        .alias("after_json"),
+        F.struct(
+            F.lit("kestra").alias("db"),
+            F.lit("repofiles").alias("table"),
+            F.lit("false").alias("snapshot"),
+            F.lit("events").alias("connector"),
+        ).alias("source"),
+        F.struct(
+            F.concat(F.lit("tx"), tx_seq.cast("string")).alias("id"),
+            (F.pmod(F.col("lsn") + 5, F.lit(10)) + 1)
+            .cast("long")
+            .alias("total_order"),
+            (F.pmod(F.col("lsn") + 5, F.lit(10)) + 1)
+            .cast("long")
+            .alias("data_collection_order"),
+        ).alias("transaction"),
+        F.lit(0).cast("long").alias("epoch_hint"),
+        (F.col("lsn") / 400).cast("long").alias("lsn_bucket"),
+    )
+    d = tempfile.mkdtemp(prefix="cdc_txalign_")
+    atexit.register(shutil.rmtree, d, True)
+    log.write.mode("overwrite").partitionBy("lsn_bucket").parquet(f"{d}/log")
+    cfg = EngineConfig(
+        log_dir=f"{d}/log",
+        table_dir=f"{d}/tbl",
+        max_events_per_batch=400,  # one bucket per epoch
+        max_batches=1,
+        tx_align=True,
+        write_metrics=False,
+    )
+    run(spark, cfg)
+    t = LakeTable(spark, f"{d}/tbl")
+    return t.read().select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        "content_sha256",
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
 def cdc_dedupe_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 via the window formulation (row_number over LSN desc) — the
     north rule's literal wording; same oracle as the aggregate path."""
@@ -1258,6 +1334,28 @@ SELECT repo, path, commit, lang, content,
        lsn AS last_lsn
 FROM latest WHERE rn = 1 AND op <> 'd'
 """,
+    "cdc_replay_tx_aligned": f"""
+WITH {ENV_SQL},
+b AS (SELECT max(lsn) AS hi FROM env WHERE lsn < 400),
+tx AS (
+  SELECT (lsn + 5) // 10 AS tid, min(lsn) AS mn, max(lsn) AS mx
+  FROM env GROUP BY 1
+),
+cut AS (
+  SELECT coalesce(
+    (SELECT min(tx.mn) - 1 FROM tx, b WHERE tx.mn <= b.hi AND b.hi < tx.mx),
+    (SELECT hi FROM b)) AS c
+),
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path, commit ORDER BY lsn DESC) AS rn
+  FROM env WHERE lsn <= (SELECT c FROM cut)
+)
+SELECT repo, path, commit, lang, content,
+       sha256(content) AS content_sha256,
+       lsn AS last_lsn
+FROM latest WHERE rn = 1 AND op <> 'd'
+""",
     "cdc_dedupe_window": FINAL_STATE_SQL,
     "cdc_column_projection": f"""
 WITH {ENV_SQL}
@@ -1446,6 +1544,7 @@ QUERIES = {
     "cdc_replay_incremental": cdc_replay_incremental,
     "cdc_replay_evolution": cdc_replay_evolution,
     "cdc_replay_truncate": cdc_replay_truncate,
+    "cdc_replay_tx_aligned": cdc_replay_tx_aligned,
     "cdc_dedupe_window": cdc_dedupe_window,
     "cdc_column_projection": cdc_column_projection,
     "cdc_op_filter_counts": cdc_op_filter_counts,
@@ -1475,6 +1574,10 @@ QUERIES.update(DATA_QUERIES)
 # dict-insertion order silently decided which operators got driver
 # rows; this makes the priority explicit.
 _TAIL_TWINS = (
+    "cdc_final_state",  # operator-level LWW twin of
+    # cdc_replay_final_state: byte-identical oracle (FINAL_STATE_SQL);
+    # the replay form proves strictly more (the engine path RUNS the
+    # dedupe operator per epoch), so it holds the driver row
     "cdc_dedupe_window",  # window twin of cdc_final_state's max_by LWW
     "cdc_final_state_salted",  # salted twin of cdc_final_state (same
     # FINAL_STATE_SQL oracle; skew path also pytest-covered)
@@ -1494,6 +1597,13 @@ _TAIL_TWINS = (
     # driver row, round 4 — and pytest asserts the two agree)
     "dedup_minhash_signatures",  # intermediate of dedup_minhash_lsh_pairs,
     # whose oracle embeds the full signature derivation (_MINHASH_SIG)
+    "dedup_clusters",  # recursive min-label twin of dedup_clusters_star
+    # (identical oracle; the star variant is the log-diameter scale
+    # path and holds the driver row; two-generation storage bound and
+    # label agreement stay pytest-covered)
+    "emb_pq_encode",  # intermediate of emb_ivfpq_topk, whose oracle
+    # embeds the full per-subspace seeding + encode derivation end to
+    # end (same pattern as dedup_minhash_signatures)
     "emb_pq_topk",  # trained-codebook ADC twin of emb_ivfpq_topk;
     # training is iterative → rows-only check, while emb_ivfpq_topk
     # hash-checks the same ADC scoring + routing end to end with

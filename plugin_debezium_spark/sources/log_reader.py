@@ -137,6 +137,135 @@ def _bucket_stats(log_dir: str, last_lsn: int) -> list[tuple[int, int, int]]:
     return sorted(out)
 
 
+def align_epochs_to_transactions(
+    spark: SparkSession, log_dir: str, epochs: list[dict]
+) -> list[dict]:
+    """Lower epoch boundaries so no transaction is split across two
+    epochs — every committed table state a consumer can read is then
+    transactionally consistent with the source, not just eventually
+    convergent (the reference surfaces Debezium's transaction block
+    on every message, Envelope.java:36-37; this makes the engine
+    HONOR it at commit granularity).
+
+    Contract this leans on: Debezium delivers COMMITTED transactions
+    in commit order — a transaction's events are contiguous in the
+    stream, so each transaction occupies a contiguous LSN range in
+    the imported log. A boundary ``hi`` therefore splits a
+    transaction iff the transaction containing the last event ≤ hi
+    extends past hi, which is detectable from the BOUNDARY buckets
+    alone: one partition-pruned job over the closing bucket of each
+    epoch and the opening bucket of its successor aggregates per-tx
+    (min, max) LSN; the straddlers (at most one per boundary under
+    contiguity) are collected — a tiny result — and each affected
+    boundary drops to straddler_min − 1, with the closing bucket
+    carried into the successor's pruning list (the bucket's tail now
+    belongs to the next epoch). Planning stays footer/boundary-scale:
+    no full-log pass, no shuffle beyond the boundary buckets.
+
+    When lowering would leave an epoch empty (the straddler begins
+    right after the epoch's lo — the natural shape when RESUMING past
+    an aligned stop, since re-planning re-closes on the bucket
+    boundary), the boundary is removed instead: the epoch merges into
+    its successor, so the restart picks up the whole transaction in
+    one commit.
+
+    Limits, by design: a transaction that began at or before an
+    epoch's lo (a prior commit point) is already split and cannot be
+    aligned (warned, boundary left — a transaction larger than
+    max_events_per_batch is a source anomaly); the scan
+    window is the boundary buckets, so a transaction longer than one
+    bucket span (1M LSNs at defaults) is out of contract. Snapshot
+    reads carry no transaction block and never constrain a boundary.
+    Epoch ``n`` sizing hints are not adjusted (a few events shift to
+    the successor; sizing is approximate already)."""
+    if len(epochs) < 2:
+        return epochs
+    import warnings
+
+    if "transaction" not in read_log(spark, log_dir).columns:
+        warnings.warn(
+            "tx_align requested but the log has no 'transaction' "
+            "column — boundaries left unaligned",
+            stacklevel=2,
+        )
+        return epochs
+    his = [int(e["hi"]) for e in epochs[:-1]]
+    window = sorted(
+        {int(epochs[i]["buckets"][-1]) for i in range(len(epochs) - 1)}
+        | {int(epochs[i + 1]["buckets"][0]) for i in range(len(epochs) - 1)}
+    )
+    tx = (
+        read_log(spark, log_dir)
+        .filter(F.col("lsn_bucket").isin(window))
+        .filter(F.col("transaction.id").isNotNull())
+        .groupBy(F.col("transaction.id").alias("_tx"))
+        .agg(F.min("lsn").alias("_lo"), F.max("lsn").alias("_hi"))
+    )
+    bdf = spark.createDataFrame([(h,) for h in his], "b bigint")
+    strad = (
+        tx.join(
+            F.broadcast(bdf),
+            (F.col("_lo") <= F.col("b")) & (F.col("b") < F.col("_hi")),
+        )
+        .groupBy("b")
+        .agg(F.min("_lo").alias("lo_min"), F.count("*").alias("n_tx"))
+        .collect()
+    )
+    cut = {int(r["b"]): (int(r["lo_min"]), int(r["n_tx"])) for r in strad}
+    result: list[dict] = []
+    cur = dict(epochs[0])
+    for e in epochs[1:]:
+        nxt = dict(e)
+        h = int(cur["hi"])
+        if h in cut:
+            lo_min, n_tx = cut[h]
+            if n_tx > 1:
+                warnings.warn(
+                    f"{n_tx} transactions straddle boundary lsn={h} — "
+                    "the log violates committed-transaction contiguity; "
+                    "aligning to the earliest straddler",
+                    stacklevel=2,
+                )
+            new_hi = lo_min - 1
+            lo = int(cur["lo"])
+            if new_hi > lo:
+                cur["hi"] = new_hi
+                nxt["lo"] = new_hi
+                tail_bucket = cur["buckets"][-1]
+                if tail_bucket not in nxt["buckets"]:
+                    nxt["buckets"] = [tail_bucket] + list(nxt["buckets"])
+                result.append(cur)
+                cur = nxt
+            elif new_hi == lo:
+                # the straddler begins right after this epoch's lo (the
+                # resume-after-aligned-stop shape): lowering would leave
+                # an empty epoch — remove the boundary instead by
+                # merging this epoch into its successor
+                nxt["lo"] = lo
+                nxt["buckets"] = sorted(
+                    set(cur["buckets"]) | set(nxt["buckets"])
+                )
+                nxt["n"] = int(cur.get("n", 0)) + int(nxt.get("n", 0))
+                cur = nxt
+            else:
+                # the transaction began at or before lo — lo was a
+                # prior commit point, so it is already split (or the
+                # log violates contiguity); nothing sound to do here
+                warnings.warn(
+                    f"a transaction starting at lsn={lo_min} spans the "
+                    f"whole epoch ending at lsn={h}; boundary left "
+                    "splitting it",
+                    stacklevel=2,
+                )
+                result.append(cur)
+                cur = nxt
+        else:
+            result.append(cur)
+            cur = nxt
+    result.append(cur)
+    return result
+
+
 def read_range(
     spark: SparkSession,
     log_dir: str,

@@ -37,7 +37,21 @@ from plugin_debezium_spark.operators.filters import drop_ddl, include_exclude
 from plugin_debezium_spark.operators.metrics import epoch_lineage, stream_counts
 from plugin_debezium_spark.plans.lake import LakeTable
 from plugin_debezium_spark.plans.merge import merge_batch
-from plugin_debezium_spark.sources.log_reader import plan_epochs, read_range
+from plugin_debezium_spark.sources.log_reader import (
+    align_epochs_to_transactions,
+    plan_epochs,
+    read_range,
+)
+
+
+def _plan(spark, cfg, last_lsn: int) -> list[dict]:
+    """plan_epochs + the optional transaction-boundary alignment."""
+    epochs = plan_epochs(
+        spark, cfg.log_dir, last_lsn, cfg.max_events_per_batch
+    )
+    if cfg.tx_align and len(epochs) > 1:
+        epochs = align_epochs_to_transactions(spark, cfg.log_dir, epochs)
+    return epochs
 
 
 @dataclass
@@ -77,8 +91,10 @@ class EngineConfig:
     #                  granular chunks INTERLEAVED with stream epochs
     #                  (streaming/incremental.py) — the stream never
     #                  waits for a 100 TB snapshot to finish
-    # WHEN_NEEDED/RECOVERY variants need a live server and map to
-    # INITIAL here.
+    #   WHEN_NEEDED  — snapshot iff no committed offsets exist
+    #                  (fresh table → INITIAL, resumed table → NEVER)
+    # RECOVERY/SCHEMA_ONLY need a live server and degrade to INITIAL
+    # with a visible warning.
     snapshot_mode: str = "INITIAL"
     # INCREMENTAL mode inputs: parquet dir of the source table's state
     # (one row per key) captured at position incremental_source_lsn;
@@ -102,6 +118,14 @@ class EngineConfig:
     table_include: str | None = None
     table_exclude: str | None = None
     write_metrics: bool = True
+    # transaction-aligned epochs: lower each planned epoch boundary so
+    # no source transaction (Envelope.java:36-37 transaction block) is
+    # split across two commits — every committed table state is then
+    # transactionally consistent with the source, not only the final
+    # one. Boundary-bucket-scale detection; see
+    # sources/log_reader.align_epochs_to_transactions for contract
+    # and limits.
+    tx_align: bool = False
     # envelope logs are highly compressible (JSON payloads): a 10 MB
     # parquet split expands to ~100 MB of parse work, so scan splits
     # must be much smaller than the 128 MB default or a micro-batch
@@ -819,7 +843,7 @@ def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
             next_epoch += 1
             last_lsn = int(table.current().properties.get("last_lsn", -1))
 
-    epochs = plan_epochs(spark, cfg.log_dir, last_lsn, cfg.max_events_per_batch)
+    epochs = _plan(spark, cfg, last_lsn)
     if mode == "INITIAL_ONLY":
         # consume the snapshot phase, then STOP before change events
         se = _snapshot_end(spark, cfg)
@@ -858,9 +882,7 @@ def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
                 break
             time.sleep(cfg.poll_interval_s)
             cur = int(table.current().properties.get("last_lsn", -1))
-            more = plan_epochs(
-                spark, cfg.log_dir, cur, cfg.max_events_per_batch
-            )
+            more = _plan(spark, cfg, cur)
             if cfg.max_batches is not None:
                 more = more[: cfg.max_batches - len(applied)]
             if not more:
@@ -941,7 +963,7 @@ def _run_incremental(
     next_chunk = (
         int(table.current().properties.get(CHUNK_PROP, -1)) + 1
     )
-    epochs = plan_epochs(spark, cfg.log_dir, last_lsn, cfg.max_events_per_batch)
+    epochs = _plan(spark, cfg, last_lsn)
     if cfg.max_batches is not None:
         epochs = epochs[: cfg.max_batches]
 
