@@ -328,6 +328,29 @@ def text_mix_weights(spark, sf_dir):
     )
 
 
+def text_pack_sequences(spark, sf_dir):
+    """Deterministic concat-and-chunk sequence packing
+    (operators/packing.pack_sequences): docs laid end-to-end in
+    content-addressed sha order and cut into 512-token training
+    blocks. The cumulative sum is two-phase (per-sha-bucket windows +
+    a broadcast prefix of the ≤2^bits bucket totals) so no partition
+    ever holds more than 2^-bits of the corpus; the oracle is the
+    equivalent single global window."""
+    from plugin_debezium_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), block_tokens=512)
+
+
+def text_lm_freq(spark, sf_dir):
+    """CCNet-shaped LM-quality proxy (operators/lmscore.ngram_lm_freq):
+    per-doc corpus bigram-frequency stats as integer components —
+    sum_freq/n_ngrams is the perplexity proxy the quality bucketing
+    cross-multiplies on."""
+    from plugin_debezium_spark.operators.lmscore import ngram_lm_freq
+
+    return ngram_lm_freq(_docs(spark, sf_dir), n=2)
+
+
 def text_fingerprint(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
@@ -1332,6 +1355,58 @@ SELECT doc_id, lang, unnest(range(1, n + 1)) AS copy
 FROM n WHERE n > 0
 """
 
+# mirrors text_lm_freq: NON-distinct word bigrams with the same
+# whole-short-text shingle floor as word_shingles_expr (n=2), corpus
+# counts from the per-(doc,gram) pre-aggregate, integer outputs only
+DATA_ORACLES["text_lm_freq"] = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 1, 1)),
+           i -> array_to_string(w[i:i+1], ' '))) AS g
+  FROM words
+),
+dg AS (SELECT doc_id, g, count(*) AS k FROM grams GROUP BY 1, 2),
+cf AS (SELECT g, sum(k) AS cf FROM dg GROUP BY 1)
+SELECT doc_id,
+       sum(k)::BIGINT AS n_ngrams,
+       sum(k * cf)::BIGINT AS sum_freq,
+       sum(CASE WHEN cf >= 2 THEN k ELSE 0 END)::BIGINT AS n_common
+FROM dg JOIN cf USING (g)
+GROUP BY doc_id
+"""
+
+# mirrors text_pack_sequences: the two-phase bucketed cumsum's total
+# order (sha-prefix bucket, sha, id) == the plain global sha order, so
+# the oracle is ONE window cumsum; same whitespace token count as
+# text_token_counts; zero-token docs keep NULL block bounds
+DATA_ORACLES["text_pack_sequences"] = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+'))
+         END::BIGINT AS n_tokens,
+         sha256('pack:v1' || doc_id::VARCHAR) AS ok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(SUM(n_tokens) OVER (
+           ORDER BY ok, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t
+)
+SELECT doc_id, n_tokens, off AS tok_offset,
+       CASE WHEN n_tokens > 0 THEN off // 512 END::BIGINT AS first_block,
+       CASE WHEN n_tokens > 0
+            THEN (off + n_tokens - 1) // 512 END::BIGINT AS last_block
+FROM c
+"""
+
 # mirrors emb_pq_encode: per-subspace DISTINCT sub-vector seeding in
 # min-sha order (digests unique per row, so total); DuckDB v[a:b]
 # inclusive == Spark slice(v, a, 8); encode = argmax of
@@ -1525,6 +1600,8 @@ DATA_QUERIES.update(
         "text_dedup_paragraphs": text_dedup_paragraphs,
         "text_dup_spans": text_dup_spans,
         "text_mix_weights": text_mix_weights,
+        "text_pack_sequences": text_pack_sequences,
+        "text_lm_freq": text_lm_freq,
         "emb_pq_encode": emb_pq_encode,
         "emb_ivfpq_topk": emb_ivfpq_topk,
         "emb_pq_topk": emb_pq_topk,

@@ -1099,3 +1099,26 @@ def test_ivfpq_sql_numpy_agree_single_probe(spark):
     # pruning is real: nprobe=1 returns a subset of each query's
     # nprobe=2 candidate pool, never more rows per query
     assert len(a) <= 4 * 3
+
+
+def test_ngram_lm_freq_closed_form(spark):
+    """Tiny corpus with hand-computed bigram frequencies — includes the
+    whole-short-text shingle floor (1-word and blank docs get exactly
+    one gram and one output row each)."""
+    from plugin_debezium_spark.operators.lmscore import ngram_lm_freq
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["sum_freq"], r["n_common"])
+        for r in ngram_lm_freq(docs, n=2).collect()
+    }
+    # cf: "a b"=3, "b a"=1, "b c"=1, "x"=1, ""=1
+    assert got == {
+        0: (3, 2 * 3 + 1, 2),
+        1: (2, 3 + 1, 1),
+        2: (1, 1, 0),
+        3: (1, 1, 0),
+    }
