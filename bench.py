@@ -604,6 +604,19 @@ cluster-recovery pytest runs green with sample_mod
 final full-corpus assignment is unchanged (callers assign against the
 returned centroids).
 
+## Sequence packing at scale (round 5)
+
+`pack_sequences` (GPT-style concat-and-chunk placement) at 10M docs /
+485M tokens on local[16] (`tools/ab_packing.py`, healthy probes):
+best-of **5.0–6.1 s**, output checksum IDENTICAL across
+`bucket_bits` 8 vs 12 — the scale knob changes only partition sizes,
+never placement. 12 bits (4096 buckets, ~2.4k rows per window
+partition) edges out 8 bits (256 buckets, ~39k rows), confirming the
+two-phase design: per-bucket cumsum windows shrink with 2^bits while
+the global prefix stays a ≤2^bits driver-size frame. At 10^10 docs,
+bucket_bits=16 keeps window partitions at ~150k rows — no stage ever
+holds a corpus-fraction partition.
+
 ## Typed-dump soak (round 4 — the schemas-enabled import path)
 
 `typed_envelopes` caches the ENTIRE parsed envelope frame then fans
