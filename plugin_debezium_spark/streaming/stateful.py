@@ -129,3 +129,59 @@ def windowed_stream_counts(
             ).alias("n_deletes"),
         )
     )
+
+
+def seen_once_stream(
+    docs: DataFrame,
+    key_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Streaming first-occurrence dedup: emit each ``key_col`` value's
+    first arrival, suppress every later duplicate — the stream-native
+    form of operators/neardup.exact_dedup, for ingest-time dedup of a
+    training corpus (a crawler re-delivering the same page, a CDC
+    stream re-inserting identical content) without ever re-reading the
+    accumulated corpus.
+
+    Semantics: within the micro-batch where a key is first seen, ties
+    resolve to min ``order_col`` (deterministic); once a key's row is
+    committed, later batches never replace it — first-arrival wins, by
+    design (state is one boolean per key, not a comparator; use
+    ``lww_state_stream`` when late rows must win).
+
+    Input must be flat (no nested structs) — compute the key upstream,
+    e.g. ``docs.withColumn("content_sha", F.sha2("text", 256))``.
+    Output schema == input schema. State scale: one boolean per
+    distinct key in Spark's state store (RocksDB on a cluster), the
+    same footprint class as lww_state_stream; the emitted stream is
+    distinct-keys-only. Use outputMode("update") or append.
+    """
+    out_schema = docs.schema
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.loc[[pdf[order_col].idxmin()]]
+            if (
+                best is None
+                or cand.iloc[0][order_col] < best.iloc[0][order_col]
+            ):
+                best = cand
+        if best is not None:
+            state.update((True,))
+            yield best
+
+    return docs.groupBy(key_col).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -163,3 +163,64 @@ def test_windowed_counts_drop_late_events(spark, tmp_path):
     emitted = {tuple(r) for r in rows}
     # only [0,10s) has closed; its count excludes the late lsn=5 event
     assert emitted == {(0, "d1", "t1", 3, 1)}
+
+
+def test_seen_once_stream_cross_batch_dedup(spark, tmp_path):
+    """First occurrence of each content hash passes; duplicates are
+    suppressed WITHIN a batch (min order_col wins the tie) and ACROSS
+    batches (state store); distinct later content still flows."""
+    from plugin_debezium_spark.streaming.stateful import seen_once_stream
+
+    stream_dir = str(tmp_path / "stream")
+
+    def _docs_file(name, rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, content_sha string"
+        )
+        tmp = os.path.join(str(tmp_path), f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.makedirs(stream_dir, exist_ok=True)
+        dst = os.path.join(stream_dir, name)
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        return dst
+
+    def row(doc_id, text):
+        import hashlib
+
+        return (doc_id, text, hashlib.sha256(text.encode()).hexdigest())
+
+    f1 = _docs_file(
+        "000.parquet",
+        [row(3, "alpha"), row(1, "alpha"), row(2, "beta")],  # in-batch dup
+    )
+    f2 = _docs_file(
+        "001.parquet",
+        [row(4, "alpha"), row(5, "gamma"), row(6, "beta")],  # cross-batch dups
+    )
+    now = time.time()
+    os.utime(f1, (now - 20, now - 20))
+    os.utime(f2, (now, now))
+
+    src = (
+        spark.readStream.schema("doc_id long, text string, content_sha string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        seen_once_stream(src, key_col="content_sha", order_col="doc_id")
+        .writeStream.format("memory")
+        .queryName("seen_once_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.table("seen_once_t").collect()
+    }
+    # alpha: doc 1 (min id in first batch), beta: doc 2, gamma: doc 5;
+    # docs 3 (in-batch tie loser), 4 and 6 (cross-batch dups) suppressed
+    assert got == {(1, "alpha"), (2, "beta"), (5, "gamma")}
