@@ -1574,6 +1574,10 @@ QUERIES.update(DATA_QUERIES)
 # dict-insertion order silently decided which operators got driver
 # rows; this makes the priority explicit.
 _TAIL_TWINS = (
+    "cdc_snapshot_union",  # operator-level S2 union twin: the three
+    # e2e snapshot-mode replays in the window (cdc_replay_final_state
+    # INITIAL, cdc_replay_snapshot_never, cdc_replay_snapshot_only)
+    # each RUN the same snapshot-union path through the engine
     "cdc_final_state",  # operator-level LWW twin of
     # cdc_replay_final_state: byte-identical oracle (FINAL_STATE_SQL);
     # the replay form proves strictly more (the engine path RUNS the

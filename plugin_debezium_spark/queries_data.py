@@ -351,6 +351,22 @@ def text_lm_freq(spark, sf_dir):
     return ngram_lm_freq(_docs(spark, sf_dir), n=2)
 
 
+def text_source_quota(spark, sf_dir):
+    """Per-source quota (operators/quotas.top_n_per_group): keep at
+    most 10 docs per source, selected by content-addressed sha order —
+    the salted two-phase top-N whose selection equals the oracle's
+    single global window."""
+    from plugin_debezium_spark.operators.quotas import top_n_per_group
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    ok = F.sha2(
+        F.concat(F.lit("quota:v1"), F.col("doc_id").cast("string")), 256
+    )
+    return top_n_per_group(
+        d, group_col="source", n=10, order_col=ok, id_col="doc_id"
+    )
+
+
 def text_fingerprint(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
@@ -1355,6 +1371,17 @@ SELECT doc_id, lang, unnest(range(1, n + 1)) AS copy
 FROM n WHERE n > 0
 """
 
+# mirrors text_source_quota: the salted two-phase top-N selects the
+# same rows as ONE global per-group window ordered by (sha, id)
+DATA_ORACLES["text_source_quota"] = """
+SELECT doc_id, source, qrank::INTEGER AS qrank FROM (
+  SELECT doc_id, source, row_number() OVER (
+    PARTITION BY source
+    ORDER BY sha256('quota:v1' || doc_id::VARCHAR), doc_id) AS qrank
+  FROM documents)
+WHERE qrank <= 10
+"""
+
 # mirrors text_lm_freq: NON-distinct word bigrams with the same
 # whole-short-text shingle floor as word_shingles_expr (n=2), corpus
 # counts from the per-(doc,gram) pre-aggregate, integer outputs only
@@ -1602,6 +1629,7 @@ DATA_QUERIES.update(
         "text_mix_weights": text_mix_weights,
         "text_pack_sequences": text_pack_sequences,
         "text_lm_freq": text_lm_freq,
+        "text_source_quota": text_source_quota,
         "emb_pq_encode": emb_pq_encode,
         "emb_ivfpq_topk": emb_ivfpq_topk,
         "emb_pq_topk": emb_pq_topk,

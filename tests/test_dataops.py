@@ -1122,3 +1122,35 @@ def test_ngram_lm_freq_closed_form(spark):
         2: (1, 1, 0),
         3: (1, 1, 0),
     }
+
+
+def test_top_n_per_group_equals_single_window_under_skew(spark):
+    """Salted two-phase top-N must select exactly the single-window
+    top-N — including on a hot group holding 90% of rows — and be
+    invariant to n_salts and input partitioning."""
+    from pyspark.sql.window import Window
+
+    from plugin_debezium_spark.operators.quotas import top_n_per_group
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, F.lit("hot"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 7).cast("string")))
+        .alias("grp"),
+    )
+    ok = F.sha2(F.col("doc_id").cast("string"), 256)
+    w = Window.partitionBy("grp").orderBy(ok, "doc_id")
+    want = sorted(
+        tuple(r)
+        for r in df.withColumn("qrank", F.row_number().over(w))
+        .filter("qrank <= 5")
+        .collect()
+    )
+    for variant in (
+        top_n_per_group(df, "grp", 5, ok, "doc_id", n_salts=16),
+        top_n_per_group(df, "grp", 5, ok, "doc_id", n_salts=3),
+        top_n_per_group(df.repartition(13), "grp", 5, ok, "doc_id"),
+    ):
+        assert sorted(tuple(r) for r in variant.collect()) == want
+    # hot group emitted exactly n rows
+    assert sum(1 for r in want if r[1] == "hot") == 5
