@@ -19,7 +19,13 @@ Composes the pipeline operators end-to-end over a documents table
                       components → keep the min-id rep per cluster
   4. decontaminate  — (optional, --contamination <path>) drop docs
                       sharing word n-grams with a held-out eval set
+  4b. source quota  — (optional, --source-quota N) at most N docs per
+                      source, content-addressed selection (salted
+                      two-phase top-N)
   5. split          — deterministic sha-bucketed train/val/test
+  5b. packing       — (optional, --pack-block B) concat-and-chunk
+                      placement columns per split (tok_offset,
+                      first/last block)
   6. write          — parquet partitioned by split
 
 Every stage is a declarative DataFrame plan (one pass each, no
@@ -50,6 +56,9 @@ def curate(
     max_contam_hits: int = 0,
     contam_ngram: int = 3,
     strip_dup_paragraphs: bool = False,
+    source_quota: int | None = None,
+    source_col: str = "source",
+    pack_block_tokens: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ):
@@ -158,8 +167,39 @@ def curate(
         kept = kept.join(clean, id_col, "left_semi")
         stats["after_decontam"] = kept.count()
 
+    # 4b. optional per-source quota: at most N docs per source, chosen
+    # by content-addressed sha (reproducible unbiased sample); salted
+    # two-phase top-N so a hot domain never single-tasks a window
+    if source_quota is not None:
+        from plugin_debezium_spark.operators.quotas import top_n_per_group
+
+        kept = top_n_per_group(
+            kept,
+            group_col=source_col,
+            n=source_quota,
+            order_col=F.sha2(
+                F.concat(F.lit("quota:v1"), F.col(id_col).cast("string")), 256
+            ),
+            id_col=id_col,
+        ).drop("qrank")
+        stats["after_source_quota"] = kept.count()
+
     # 5. deterministic split
     out = kept.withColumn("split", hash_split(id_col))
+
+    # 5b. optional sequence packing: each split packed as its own
+    # token stream (concat-and-chunk placement columns ride along)
+    if pack_block_tokens is not None:
+        from plugin_debezium_spark.operators.packing import pack_sequences
+
+        placed = pack_sequences(
+            out,
+            block_tokens=pack_block_tokens,
+            id_col=id_col,
+            text_col=text_col,
+            group_cols=("split",),
+        )
+        out = out.join(placed, [id_col, "split"])
     return out, stats
 
 
@@ -179,6 +219,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--max-contam-hits", type=int, default=0)
     p.add_argument("--contam-ngram", type=int, default=3)
+    p.add_argument(
+        "--source-quota",
+        type=int,
+        default=None,
+        help="keep at most N docs per source (content-addressed "
+        "selection; salted two-phase top-N)",
+    )
+    p.add_argument(
+        "--pack-block",
+        type=int,
+        default=None,
+        help="annotate each doc with its concat-and-chunk placement "
+        "(tok_offset, first/last block) per split at this block size",
+    )
     p.add_argument(
         "--strip-dup-paragraphs",
         action="store_true",
@@ -210,6 +264,8 @@ def main(argv: list[str] | None = None) -> int:
         max_contam_hits=args.max_contam_hits,
         contam_ngram=args.contam_ngram,
         strip_dup_paragraphs=args.strip_dup_paragraphs,
+        source_quota=args.source_quota,
+        pack_block_tokens=args.pack_block,
     )
     out.write.mode("overwrite").partitionBy("split").parquet(args.output)
     stats["written"] = spark.read.parquet(args.output).count()

@@ -42,6 +42,7 @@ def pack_sequences(
     tokens: Column | None = None,
     salt: str = "pack:v1",
     bucket_bits: int = 8,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign every document its span in the packed token stream.
 
@@ -62,6 +63,12 @@ def pack_sequences(
     content-addressed trick as functions/text.hash_split); change it
     to re-shuffle the corpus between epochs without losing
     reproducibility.
+
+    ``group_cols`` packs each group as its OWN token stream (offsets
+    restart per group) — e.g. per train/val/test split, per language:
+    the group keys join every partition/prefix stage, so the per-group
+    prefix frame stays ≤2^bits rows per group and groups never
+    interleave.
     """
     if not 1 <= bucket_bits <= 28:
         raise ValueError(f"bucket_bits out of range: {bucket_bits}")
@@ -79,31 +86,40 @@ def pack_sequences(
         F.conv(F.substring(order_key, 1, n_hex), 16, 10).cast("long"),
         4 * n_hex - bucket_bits,
     ).alias("_bucket")
+    g = list(group_cols)
     base = docs.select(
+        *g,
         idc.alias("_id"), n_tok.alias("n_tokens"), order_key.alias("_ok"),
         bucket,
     )
     w = (
-        Window.partitionBy("_bucket")
+        Window.partitionBy(*g, "_bucket")
         .orderBy("_ok", "_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     within = base.withColumn(
         "_off_in", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     )
-    totals = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_btot"))
-    wp = Window.orderBy("_bucket").rowsBetween(
+    totals = base.groupBy(*g, "_bucket").agg(
+        F.sum("n_tokens").alias("_btot")
+    )
+    wp = (
+        Window.partitionBy(*g) if g else Window
+    ).orderBy("_bucket").rowsBetween(
         Window.unboundedPreceding, -1
-    )  # ≤2^bucket_bits rows: a driver-size frame, single partition OK
+    )  # ≤2^bucket_bits rows per group: a driver-size frame per task
     prefix = totals.select(
-        "_bucket", F.coalesce(F.sum("_btot").over(wp), F.lit(0)).alias("_base")
+        *g,
+        "_bucket",
+        F.coalesce(F.sum("_btot").over(wp), F.lit(0)).alias("_base"),
     )
     off = F.col("_base") + F.col("_off_in")
     nz = F.col("n_tokens") > 0
     bt = F.lit(block_tokens).cast("long")
     return (
-        within.join(F.broadcast(prefix), "_bucket")
+        within.join(F.broadcast(prefix), g + ["_bucket"])
         .select(
+            *g,
             F.col("_id").alias(id_col),
             "n_tokens",
             off.cast("long").alias("tok_offset"),

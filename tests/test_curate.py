@@ -169,3 +169,47 @@ def test_curate_strip_dup_paragraphs_stage(spark):
     # the rewrite actually removed the nav bar from doc 2's text
     t2 = out.filter("doc_id = 2").select("text").collect()[0][0]
     assert "NAV BAR" not in t2 and "body two" in t2
+
+
+def test_curate_source_quota_and_packing_stages(spark):
+    """--source-quota caps docs per source (content-addressed pick);
+    --pack-block annotates per-split placements that tile each split's
+    token stream exactly."""
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"document body number {i} with several plain words "
+                f"inside the text {i}",
+                "hot" if i < 40 else f"s{i % 3}",
+            )
+            for i in range(52)
+        ],
+        "doc_id long, text string, source string",
+    )
+    out, stats = curate(
+        spark,
+        docs,
+        min_words=3,
+        max_rep_frac=0.9,
+        source_quota=5,
+        pack_block_tokens=8,
+    )
+    rows = out.collect()
+    per_source = {}
+    for r in rows:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+    assert all(v <= 5 for v in per_source.values()), per_source
+    assert stats["after_source_quota"] == len(rows)
+    # placements tile each split's stream
+    for split in {r["split"] for r in rows}:
+        srows = sorted(
+            (r for r in rows if r["split"] == split),
+            key=lambda r: r["tok_offset"],
+        )
+        pos = 0
+        for r in srows:
+            assert r["tok_offset"] == pos
+            assert r["first_block"] == pos // 8
+            assert r["last_block"] == (pos + r["n_tokens"] - 1) // 8
+            pos += r["n_tokens"]

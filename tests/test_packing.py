@@ -98,3 +98,20 @@ def test_packing_stats(spark):
         for r in rows
         if r["n_tokens"] > 0 and r["last_block"] > r["first_block"]
     )
+
+
+def test_grouped_packing_equals_per_group_ungrouped(spark):
+    """group_cols packs each group as its own stream: identical to
+    running pack_sequences separately on each group's filtered subset."""
+    docs = _docs(spark).withColumn(
+        "grp", (F.pmod(F.col("doc_id"), 3)).cast("string")
+    )
+    grouped = sorted(
+        tuple(r)
+        for r in pack_sequences(docs, 16, group_cols=("grp",)).collect()
+    )
+    separate = []
+    for g in ("0", "1", "2"):
+        for r in pack_sequences(docs.filter(F.col("grp") == g), 16).collect():
+            separate.append((g, *tuple(r)))
+    assert grouped == sorted(separate)
