@@ -152,3 +152,84 @@ def test_connected_components_equals_union_find(spark, n_nodes, edges):
         for r in connected_components(pairs, nodes=nodes).collect()
     }
     assert got == expect
+
+
+# --- packing: any token multiset tiles the stream exactly -------------
+
+pack_tokens_strategy = st.lists(
+    st.integers(0, 40), min_size=1, max_size=60
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(toks=pack_tokens_strategy, block=st.integers(1, 17))
+def test_pack_sequences_tiles_any_corpus(spark, toks, block):
+    """For ANY per-doc token counts and ANY block size: offsets tile
+    the concatenated stream with no gaps/overlaps, zero-token docs
+    have NULL bounds, block spans match chunker arithmetic."""
+    from pyspark.sql import functions as F
+
+    from plugin_debezium_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n long"
+    )
+    rows = pack_sequences(
+        docs, block_tokens=block, tokens=F.col("n"), bucket_bits=4
+    ).collect()
+    assert len(rows) == len(toks)
+    pos = 0
+    for r in sorted(rows, key=lambda r: (r["tok_offset"], r["doc_id"])):
+        assert r["n_tokens"] == toks[r["doc_id"]]
+        if r["n_tokens"] == 0:
+            assert r["first_block"] is None and r["last_block"] is None
+            continue
+        assert r["tok_offset"] == pos
+        assert r["first_block"] == pos // block
+        assert r["last_block"] == (pos + r["n_tokens"] - 1) // block
+        pos += r["n_tokens"]
+    assert pos == sum(toks)
+
+
+# --- quotas: any grouping equals the single-window top-N --------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    groups=st.lists(st.integers(0, 3), min_size=1, max_size=40),
+    n=st.integers(1, 4),
+    n_salts=st.integers(1, 5),
+)
+def test_top_n_per_group_equals_window_any_grouping(spark, groups, n, n_salts):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from plugin_debezium_spark.operators.quotas import top_n_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"g{g}") for i, g in enumerate(groups)],
+        "doc_id long, grp string",
+    )
+    ok = F.sha2(F.col("doc_id").cast("string"), 256)
+    w = Window.partitionBy("grp").orderBy(ok, "doc_id")
+    want = sorted(
+        tuple(r)
+        for r in df.withColumn("qrank", F.row_number().over(w))
+        .filter(F.col("qrank") <= n)
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in top_n_per_group(
+            df, "grp", n, ok, "doc_id", n_salts=n_salts
+        ).collect()
+    )
+    assert got == want
