@@ -604,6 +604,20 @@ cluster-recovery pytest runs green with sample_mod
 final full-corpus assignment is unchanged (callers assign against the
 returned centroids).
 
+## Transaction-aligned epochs: planning overhead (round 5)
+
+`EngineConfig.tx_align` adds one partition-pruned aggregation over the
+boundary buckets per planning pass. Measured on a 4M-event/4-bucket
+no-straddler log (`tools/ab_tx_align.py` + direct timing): the align
+call costs **1.0–1.3 s warm** (3.8 s cold) — and this shape is the
+WORST case, because with one-bucket epochs the "boundary buckets"
+window is the entire log; the full replay A/B (best-of healthy cells)
+shows the engine-level delta inside run-to-run noise at ≤ ~2–5 s for
+two planning passes. At production shapes (epochs spanning many 1M-LSN
+buckets) the pruned window is 2 buckets per boundary — a vanishing
+fraction of the log — and the aggregation carries only (lsn,
+transaction.id) columns and per-tx (min,max) partial aggregates.
+
 ## Sequence packing at scale (round 5)
 
 `pack_sequences` (GPT-style concat-and-chunk placement) at 10M docs /
