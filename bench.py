@@ -604,6 +604,24 @@ cluster-recovery pytest runs green with sample_mod
 final full-corpus assignment is unchanged (callers assign against the
 returned centroids).
 
+## Curation pipeline soak (round 5)
+
+`jobs/curate.py` end-to-end — quality gate → exact dedup → MinHash-LSH
+(8 perms) near-dup components → per-source quota (salted top-N) →
+split → per-split packing — over 1M synthetic docs (~120 words each,
+10% planted exact duplicates, one hot source holding 30%) on
+local[16] (`tools/soak_curate.py`): **837 s (1.2k docs/s ≈ 1 MB/s of
+text)**, probes healthy end-to-end, stage counts
+1,000,000 → 900,000 (exact) → 783,352 (near-dup) → 527,970 (quota),
+zero quota violations, every split's packing tiles exactly. MinHash
+signatures+banding dominate the wall (the 115M-shingle explode), as
+expected — every other stage is one scan over the cached survivors.
+The soak exposed and now guards an O(stages²) recomputation bug: stage
+lineage counts without cache boundaries re-ran the whole upstream plan
+once per later stage (measured >4.4x wall at 100k docs before the
+fix); curate() now caches each stage's survivors and hands back a
+`_curate_caches_release()` handle.
+
 ## Transaction-aligned epochs: planning overhead (round 5)
 
 `EngineConfig.tx_align` adds one partition-pruned aggregation over the

@@ -144,7 +144,8 @@ def seen_once_stream(
     accumulated corpus.
 
     Semantics: within the micro-batch where a key is first seen, ties
-    resolve to min ``order_col`` (deterministic); once a key's row is
+    resolve to min ``order_col`` (deterministic when ``order_col`` is
+    unique per key — pass a row id); once a key's row is
     committed, later batches never replace it — first-arrival wins, by
     design (state is one boolean per key, not a comparator; use
     ``lww_state_stream`` when late rows must win).
