@@ -11,9 +11,12 @@ log itself is one envelope format, so connector diversity collapses to
 configuration (SURVEY.md: "connector diversity collapses to
 envelope-schema options").
 
-No live databases exist here; these classes validate/normalize the
-same option surface the reference exposes so a user of the reference
-can port a task definition 1:1.
+No live MySQL/Postgres/... servers exist here; these classes
+validate/normalize the same option surface the reference exposes so a
+user of the reference can port a task definition 1:1. One connector
+DOES run live end to end: SQLite (sources/sqlite_connector.py) —
+trigger-audit capture with a consistent snapshot, offset store, and
+at-least-once re-delivery absorbed by the engine's LWW.
 """
 
 from __future__ import annotations
