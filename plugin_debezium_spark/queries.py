@@ -732,6 +732,80 @@ def cdc_replay_tx_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_sqlite_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 executed against a LIVE database: the events-derived change
+    stream is applied row by row to a real SQLite table (upsert for
+    c/u, delete for d — a real client workload, driver-side like any
+    database client), audit triggers capture every mutation, the
+    trigger-audit connector (sources/sqlite_connector.capture_to_log)
+    tails the commit-ordered audit log into an envelope log, and the
+    engine replays it into a lake table. The oracle is plain LWW over
+    the ORIGINAL events — the whole capture pipeline (trigger images,
+    consistent offsets, LSN minting, replay) must be transparent.
+    last_lsn is excluded: capture mints its own audit LSNs."""
+    import atexit
+    import shutil
+    import sqlite3
+    import tempfile
+
+    from plugin_debezium_spark.plans.lake import LakeTable
+    from plugin_debezium_spark.sources.sqlite_connector import (
+        SqliteSource,
+        capture_to_log,
+        install_cdc,
+    )
+    from plugin_debezium_spark.streaming.engine import EngineConfig, run
+
+    d = tempfile.mkdtemp(prefix="cdc_sqlite_")
+    atexit.register(shutil.rmtree, d, True)
+    db = f"{d}/live.db"
+    con = sqlite3.connect(db)
+    con.execute(
+        """CREATE TABLE repofiles (
+           repo TEXT, path TEXT, "commit" TEXT, lang TEXT, content TEXT,
+           PRIMARY KEY (repo, path, "commit"))"""
+    )
+    con.commit()
+    src = SqliteSource(db_path=db)
+    install_cdc(src)
+    events = (
+        envelopes_from_events(spark, sf_dir)
+        .select("lsn", "op", "repo", "path", "commit", "lang", "content")
+        .orderBy("lsn")
+        .collect()
+    )
+    cur = con.cursor()
+    cur.execute("BEGIN")
+    for r in events:
+        if r["op"] == "d":
+            cur.execute(
+                'DELETE FROM repofiles WHERE repo=? AND path=? AND "commit"=?',
+                (r["repo"], r["path"], r["commit"]),
+            )
+        else:
+            cur.execute(
+                "INSERT OR REPLACE INTO repofiles VALUES (?,?,?,?,?)",
+                (r["repo"], r["path"], r["commit"], r["lang"], r["content"]),
+            )
+    cur.execute("COMMIT")
+    con.close()
+    capture_to_log(
+        spark, src, f"{d}/log", bucket_size=4096, snapshot_mode="NEVER"
+    )
+    cfg = EngineConfig(
+        log_dir=f"{d}/log",
+        table_dir=f"{d}/tbl",
+        max_events_per_batch=4096,
+        write_metrics=False,
+    )
+    run(spark, cfg)
+    return (
+        LakeTable(spark, f"{d}/tbl")
+        .read()
+        .select("repo", "path", "commit", "lang", "content", "content_sha256")
+    )
+
+
 def cdc_dedupe_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 via the window formulation (row_number over LSN desc) — the
     north rule's literal wording; same oracle as the aggregate path."""
@@ -1492,6 +1566,20 @@ SELECT repo, path, commit, content,
        mlsn AS last_lsn
 FROM latest WHERE rn = 1 AND op <> 'd'
 """,
+    # the live-database round trip must be transparent: plain LWW over
+    # the ORIGINAL events (capture mints its own audit LSNs, so
+    # last_lsn is excluded from the comparison)
+    "cdc_sqlite_live": f"""
+WITH {ENV_SQL},
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path, commit ORDER BY lsn DESC) AS rn
+  FROM env
+)
+SELECT repo, path, commit, lang, content,
+       sha256(content) AS content_sha256
+FROM latest WHERE rn = 1 AND op <> 'd'
+""",
     # full-outer diff of the two LWW cutoffs; _lsn (unique per row
     # version) is the comparator, matching table_diff
     "cdc_replay_diff": f"""
@@ -1559,6 +1647,7 @@ QUERIES = {
     "cdc_snapshot_union": cdc_snapshot_union,
     "cdc_binlog_rotation": cdc_binlog_rotation,
     "cdc_resume_token_order": cdc_resume_token_order,
+    "cdc_sqlite_live": cdc_sqlite_live,
     "cdc_replay_diff": cdc_replay_diff,
 }
 QUERIES.update(DATA_QUERIES)
@@ -1574,6 +1663,10 @@ QUERIES.update(DATA_QUERIES)
 # dict-insertion order silently decided which operators got driver
 # rows; this makes the priority explicit.
 _TAIL_TWINS = (
+    "cdc_resume_token_order",  # the second of two S3 ordering proofs
+    # (cdc_binlog_rotation holds the driver row); the token-minting
+    # derivation it hashes stays covered here + by
+    # test_debezium_json.py::test_opaque_resume_tokens_order_same_ms_bursts
     "cdc_snapshot_union",  # operator-level S2 union twin: the three
     # e2e snapshot-mode replays in the window (cdc_replay_final_state
     # INITIAL, cdc_replay_snapshot_never, cdc_replay_snapshot_only)
