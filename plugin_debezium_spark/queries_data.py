@@ -1343,8 +1343,8 @@ agg AS (
   FROM sp GROUP BY 1
 )
 SELECT b.doc_id, b.n_words,
-       coalesce(agg.n_spans, 0) AS n_spans,
-       coalesce(agg.dup_words, 0) AS dup_words
+       coalesce(agg.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(agg.dup_words, 0)::BIGINT AS dup_words
 FROM base b LEFT JOIN agg USING (doc_id)
 """
 
@@ -1427,7 +1427,7 @@ c AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
   FROM t
 )
-SELECT doc_id, n_tokens, off AS tok_offset,
+SELECT doc_id, n_tokens, off::BIGINT AS tok_offset,
        CASE WHEN n_tokens > 0 THEN off // 512 END::BIGINT AS first_block,
        CASE WHEN n_tokens > 0
             THEN (off + n_tokens - 1) // 512 END::BIGINT AS last_block

@@ -79,13 +79,25 @@ def main() -> int:
         if name not in oracles:
             print(f"{name:28s} rows={len(srows):7d} (no oracle) {t1-t0:5.1f}s")
             continue
-        cur = con.execute(oracles[name])
-        ocols = [d[0] for d in cur.description]
-        orows = cur.fetchall()
+        rel = con.sql(oracles[name])
+        # Round-5 lesson: duckdb-python converts HUGEINT to plain int
+        # before norm_cell ever sees it, so a value compare is BLIND to
+        # the one divergence class the driver's hasher catches (un-cast
+        # aggregate sums). Audit the relation's DECLARED types instead.
+        bad_types = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, (str(t).upper() for t in rel.types))
+            if "HUGEINT" in t or "DECIMAL" in t
+        ]
+        ocols = list(rel.columns)
+        orows = rel.fetchall()
         ok_cols = sorted(scols) == sorted(ocols)
         ok_rows = len(srows) == len(orows)
         ok_hash = value_hash(scols, srows) == value_hash(ocols, orows)
-        status = "OK " if (ok_cols and ok_rows and ok_hash) else "FAIL"
+        ok_types = not bad_types
+        status = (
+            "OK " if (ok_cols and ok_rows and ok_hash and ok_types) else "FAIL"
+        )
         if status == "FAIL":
             failures += 1
         print(
@@ -93,6 +105,8 @@ def main() -> int:
             f"cols={'=' if ok_cols else f'{sorted(scols)} vs {sorted(ocols)}'} "
             f"hash={'=' if ok_hash else '!'} {t1-t0:5.1f}s"
         )
+        if bad_types:
+            print(f"   driver-divergent oracle types: {bad_types}")
         if not ok_hash and ok_rows and ok_cols:
             # show a sample diff
             sset = {
