@@ -957,10 +957,14 @@ def emb_ivf_train_topk(spark, sf_dir):
     """End-to-end TRAINED IVF: k-means coarse quantizer fit on the
     corpus (operators/similarity.train_ivf_centroids — deterministic
     content-addressed seeding, numpy assign, map-side-combinable mean
-    updates) then ivf_topk over the trained cells. Iterative training
-    is not single-statement-SQL-expressible, so this query has no
-    DuckDB oracle (driver records the rows-only check); determinism
-    and cluster recovery are pytest-asserted in test_dataops.py."""
+    updates) then ivf_topk over the trained cells. The pinned shape
+    (k=4, iters=3) makes the whole derivation single-statement
+    SQL-expressible after all (round-5 verdict #3): the DuckDB oracle
+    unrolls the 3 farthest-point seed selections and the 3 Lloyd
+    assign/mean rounds as chained CTEs (_ivf_train_oracle below) —
+    the emb_ivfpq_topk pattern applied to iterative training.
+    Determinism and cluster recovery stay pytest-asserted in
+    test_dataops.py."""
     from pyspark.sql import functions as F
 
     from plugin_debezium_spark.operators.similarity import (
@@ -1539,6 +1543,114 @@ SELECT query_id, rank, neighbor_id FROM (
   FROM scored)
 WHERE rank <= 3
 """
+
+def _ivf_train_oracle(k: int = 4, iters: int = 3) -> str:
+    """Unroll train_ivf_centroids(k, iters) + ivf_topk(k=3, nprobe=2)
+    into ONE DuckDB statement (round-5 verdict #3: fixed iteration
+    counts ARE single-statement-expressible). Mirrors
+    operators/similarity.py exactly:
+
+    - seed 0 = corpus vector with min (sha256('42:'||id), id);
+    - seed j = corpus vector minimizing (max cosine to seeds 0..j-1,
+      id) — the farthest-point step;
+    - each Lloyd round: assign every corpus vector to its argmax-
+      cosine centroid (ties: min cid), next centroid = component-wise
+      AVG of members, empty cells keep the previous centroid;
+    - then the emb_topk_ivf routing/scoring over the trained cells
+      (corpus: nearest 1 list; queries vec_id<5: nearest 2; rank by
+      desc cosine, asc neighbor_id; top-3). Integer-only output."""
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings)",
+        "corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5)",
+        "s0 AS (SELECT vec_id, v FROM corpus "
+        "ORDER BY sha256('42:' || vec_id::VARCHAR), vec_id LIMIT 1)",
+    ]
+    for j in range(1, k):
+        prev = ", ".join(f"s{i}" for i in range(j))
+        coss = [_COS.format(a="c.v", b=f"s{i}.v") for i in range(j)]
+        maxcos = coss[0] if j == 1 else "greatest(" + ", ".join(coss) + ")"
+        parts.append(
+            f"s{j} AS (SELECT c.vec_id, c.v FROM corpus c, {prev}\n"
+            f"  ORDER BY {maxcos} ASC, c.vec_id ASC LIMIT 1)"
+        )
+    parts.append(
+        "c0 AS ("
+        + " UNION ALL ".join(
+            f"SELECT {i}::BIGINT AS cid, v AS cv FROM s{i}" for i in range(k)
+        )
+        + ")"
+    )
+    for r in range(1, iters + 1):
+        p = r - 1
+        parts.append(
+            f"""a{r} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT c.vec_id, c.v, t.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {_COS.format(a='c.v', b='t.cv')} DESC,
+                      t.cid ASC) AS r
+    FROM corpus c, c{p} t) WHERE r = 1
+)"""
+        )
+        parts.append(
+            f"""m{r} AS (
+  SELECT cid, list(m ORDER BY i) AS cv FROM (
+    SELECT cid, i, avg(x) AS m
+    FROM (SELECT cid, unnest(v) AS x,
+                 generate_subscripts(v, 1) AS i FROM a{r})
+    GROUP BY cid, i)
+  GROUP BY cid
+)"""
+        )
+        parts.append(
+            f"""c{r} AS (
+  SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+  FROM c{p} p LEFT JOIN m{r} n ON p.cid = n.cid
+)"""
+        )
+    cent = f"c{iters}"
+    parts.append(
+        f"""cassign AS (
+  SELECT vec_id AS neighbor_id, v AS cvec, cid FROM (
+    SELECT c.vec_id, c.v, t.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {_COS.format(a='c.v', b='t.cv')} DESC,
+                      t.cid ASC) AS r
+    FROM corpus c, {cent} t) WHERE r = 1
+)"""
+    )
+    parts.append(
+        f"""qassign AS (
+  SELECT vec_id AS query_id, v AS qvec, cid FROM (
+    SELECT q.vec_id, q.v, t.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_COS.format(a='q.v', b='t.cv')} DESC,
+                      t.cid ASC) AS r
+    FROM e q, {cent} t WHERE q.vec_id < 5) WHERE r <= 2
+)"""
+    )
+    parts.append(
+        f"""scored AS (
+  SELECT query_id, neighbor_id,
+         {_COS.format(a='qvec', b='cvec')} AS cosine
+  FROM cassign JOIN qassign USING (cid)
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+    )
+
+
+DATA_ORACLES["emb_ivf_train_topk"] = _ivf_train_oracle(k=4, iters=3)
 
 DATA_ORACLES["text_hash_split"] = """
 WITH b AS (
