@@ -468,24 +468,40 @@ def ivfpq_topk(
         _index, f"{id_col} {nid_type}, cid long, codes array<int>"
     )
 
+    # ADVICE r5 #3: the probe mask must prune the COMPUTE, not just the
+    # emitted rows — pre-filter each batch to rows in the union of all
+    # probe sets, then gather/sum the LUT per query over only that
+    # query's masked rows, so ADC work scales with nprobe/k_c of the
+    # corpus (float ops identical to the full-matrix form, so results
+    # are bit-equal).
+    probe_arrays = [
+        np.fromiter(p, dtype=np.int64, count=len(p)) for p in probes
+    ]
+    union_cids = np.unique(np.concatenate(probe_arrays))
+
     def _score(batches):
+        subs = np.arange(m)
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy()
             rcids = pdf["cid"].to_numpy()
-            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
-            subs = np.arange(m)
-            dots = LUT[subs[:, None], codes.T, :].sum(axis=0)
+            keep = np.isin(rcids, union_cids)
+            if not keep.any():
+                continue
+            ids = ids[keep]
+            rcids = rcids[keep]
+            codes = np.stack(pdf["codes"].to_numpy()[keep]).astype(np.int64)
             xnorm = np.sqrt(sqn[subs[None, :], codes].sum(axis=1))
             xnorm[xnorm == 0.0] = np.inf
-            cos = dots / (xnorm[:, None] * Qn[None, :])
             out = {"query_id": [], "neighbor_id": [], "_score": []}
             for j, qid in enumerate(qids):
-                mask = np.isin(rcids, list(probes[j]))
+                mask = np.isin(rcids, probe_arrays[j])
                 if not mask.any():
                     continue
-                col = cos[mask, j]
+                cj = codes[mask]
+                dots_j = LUT[subs[:, None], cj.T, j].sum(axis=0)
+                col = dots_j / (xnorm[mask] * Qn[j])
                 mids = ids[mask]
                 kk = min(k, len(mids))
                 cand = np.argpartition(-col, kk - 1)[:kk]

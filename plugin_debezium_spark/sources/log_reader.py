@@ -79,7 +79,13 @@ def _bucket_stats(log_dir: str, last_lsn: int) -> list[tuple[int, int, int]]:
     pages, just file statistics (the same trick Iceberg manifests
     pull). Approximation: a bucket whose max_lsn > last_lsn counts all
     its rows; fine because epochs close on bucket boundaries, so a
-    resume never lands mid-bucket.
+    resume never lands mid-bucket — EXCEPT when tx-aligned commits are
+    in play (align_epochs_to_transactions lowers a boundary to
+    straddler_min − 1, mid-bucket). A resume from such a stop
+    attributes the partially-consumed bucket's FULL row count to the
+    first replanned epoch, so that epoch's size estimate runs high
+    (sizing only — correctness is unaffected: read_range still filters
+    lsn > last_lsn; ADVICE r5 #4).
 
     Footer reads fan out over a thread pool (pyarrow footer parsing
     drops the GIL): planning cost is max-per-bucket, not
