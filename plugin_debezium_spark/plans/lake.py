@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -322,6 +323,18 @@ class LakeTable:
         a conditional PUT / catalog CAS on an object store). Pass
         expected_parent to abort when another writer committed since
         the caller's basis snapshot (ConcurrentCommitError)."""
+        with self._commit_lock():
+            return self._commit_locked(
+                new_files,
+                replaced_buckets,
+                schema,
+                epoch_id,
+                properties,
+                expected_parent,
+            )
+
+    @contextmanager
+    def _commit_lock(self):
         lock = os.path.join(self.meta_dir, "_commit.lock")
         import time as _time
 
@@ -349,16 +362,50 @@ class LakeTable:
                 )
             _time.sleep(0.05)
         try:
-            return self._commit_locked(
-                new_files,
-                replaced_buckets,
-                schema,
-                epoch_id,
-                properties,
-                expected_parent,
-            )
+            yield
         finally:
             self.fs.delete(lock)
+
+    def commit_metadata(
+        self,
+        *,
+        schemas: list[dict],
+        schema_id: int,
+        files: list[dict],
+        expected_parent: int | None = None,
+        properties: dict | None = None,
+    ) -> Snapshot:
+        """Metadata-only commit (schema-history RECOVERY,
+        plans/evolve.rebuild_schema_history): replace the schema
+        lineage and the per-file schema_id mapping WITHOUT touching
+        data files — same lock + manifest-then-pointer-swap discipline
+        as commit(), same optimistic-concurrency guard."""
+        with self._commit_lock():
+            prev = self.current()
+            if (
+                expected_parent is not None
+                and prev.snapshot_id != expected_parent
+            ):
+                raise ConcurrentCommitError(
+                    f"basis snapshot {expected_parent} is stale: current "
+                    f"is {prev.snapshot_id} — recompute against the new "
+                    "snapshot"
+                )
+            props = dict(prev.properties)
+            props.update(properties or {})
+            snap = Snapshot(
+                snapshot_id=prev.snapshot_id + 1,
+                parent_id=prev.snapshot_id,
+                epoch_id=prev.epoch_id,
+                schema_id=schema_id,
+                schemas=schemas,
+                n_buckets=prev.n_buckets,
+                key_cols=prev.key_cols,
+                files=files,
+                properties=props,
+            )
+            self._write_snapshot(snap)
+            return snap
 
     # seconds after which a lock whose holder can't be proven alive is
     # reclaimable (same-host pid check short-circuits much earlier)

@@ -776,24 +776,37 @@ def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
         # resumed table skips it like NEVER. No live server needed,
         # so this mode does NOT degenerate.
         mode = "INITIAL" if last_lsn < 0 else "NEVER"
-    elif mode in (
-        "RECOVERY",
-        "SCHEMA_ONLY",
-        "SCHEMA_ONLY_RECOVERY",
-        "NO_DATA",
-    ):
-        # these need a live server/schema topic to differ; with a
-        # lake-resident log they degenerate to INITIAL. Warn VISIBLY
-        # (round-4 item: a user porting a RECOVERY flow gets different
-        # behavior — a silent comment is not enough).
+    elif mode in ("RECOVERY", "SCHEMA_ONLY_RECOVERY"):
+        # real RECOVERY semantics, lake-natively (round-5 verdict #5;
+        # MysqlInterface.java:43-53): Debezium rebuilds a lost/corrupt
+        # schema history from the database, then streams with NO data
+        # snapshot. Our schema history is the manifest's schemas list +
+        # per-file schema_id; rebuild it from the table's own parquet
+        # footers (plans/evolve.rebuild_schema_history), then resume as
+        # NEVER. A fresh table has no history OR data to recover —
+        # like WHEN_NEEDED, it runs INITIAL.
+        if last_lsn < 0:
+            mode = "INITIAL"
+        else:
+            from plugin_debezium_spark.plans.evolve import (
+                rebuild_schema_history,
+            )
+
+            rebuild_schema_history(table)
+            mode = "NEVER"
+    elif mode in ("SCHEMA_ONLY", "NO_DATA"):
+        # these capture a live server's CURRENT schema without data —
+        # meaningless against a lake-resident log, which carries no
+        # server to interrogate. Warn VISIBLY (round-4 item: a user
+        # porting such a flow gets different behavior — a silent
+        # comment is not enough).
         import warnings
 
         warnings.warn(
-            f"snapshot_mode={mode} needs a live database server or "
-            "schema-history topic to differ from INITIAL; with a "
-            "lake-resident change log it degenerates to INITIAL "
-            "(full snapshot phase, then stream). Reference modes: "
-            "MysqlInterface.java:43-53.",
+            f"snapshot_mode={mode} needs a live database server to "
+            "differ from INITIAL; with a lake-resident change log it "
+            "degenerates to INITIAL (full snapshot phase, then "
+            "stream). Reference modes: MysqlInterface.java:43-53.",
             UserWarning,
             stacklevel=2,
         )

@@ -428,10 +428,11 @@ def test_snapshot_mode_initial_only_stops_after_snapshot(
 def test_degenerate_snapshot_modes_warn_and_run_as_initial(
     spark, log_dir, tmp_path
 ):
-    """RECOVERY/SCHEMA_ONLY/... need a live server or schema-history
-    topic — with a lake-resident log they run as INITIAL, and since
-    round 4 that degeneration warns visibly instead of silently
-    differing from what a ported RECOVERY flow expects."""
+    """SCHEMA_ONLY/NO_DATA need a live server to interrogate — with a
+    lake-resident log they run as INITIAL, and since round 4 that
+    degeneration warns visibly instead of silently differing from what
+    a ported flow expects. (RECOVERY left this list in round 6: it has
+    real lake-native semantics now — see the recovery tests below.)"""
     table_dir = str(tmp_path / "tbl")
     with pytest.warns(UserWarning, match="degenerates to INITIAL"):
         run(
@@ -440,9 +441,85 @@ def test_degenerate_snapshot_modes_warn_and_run_as_initial(
                 log_dir=log_dir,
                 table_dir=table_dir,
                 max_events_per_batch=1_000,
+                snapshot_mode="SCHEMA_ONLY",
+            ),
+        )
+    golden = golden_key_hashes(read_log_pandas(log_dir))
+    assert _final_hashes(spark, table_dir) == golden
+
+
+def test_snapshot_mode_recovery_rebuilds_history_and_resumes(
+    spark, log_dir, tmp_path
+):
+    """Real RECOVERY semantics (round-5 verdict #5;
+    mysql/MysqlInterface.java:43-53): corrupt the table's schema
+    lineage mid-stream, resume with snapshot_mode=RECOVERY — the
+    engine rebuilds the history from the data files' parquet footers,
+    then streams WITHOUT a data snapshot, converging to the golden
+    final state with the fully-evolved schema."""
+    import warnings
+
+    from plugin_debezium_spark.plans.evolve import rebuild_schema_history
+
+    table_dir = str(tmp_path / "tbl")
+    run(
+        spark,
+        EngineConfig(
+            log_dir=log_dir,
+            table_dir=table_dir,
+            max_events_per_batch=1_000,
+            max_batches=3,
+        ),
+    )
+    t = LakeTable(spark, table_dir)
+    healthy = t.current()
+    assert len(healthy.schemas) >= 2  # evolution already happened
+    # corrupt: flatten the lineage to the first schema (history lost)
+    t.commit_metadata(
+        schemas=[healthy.schemas[0]],
+        schema_id=0,
+        files=[{**f, "schema_id": 0} for f in healthy.files],
+        expected_parent=healthy.snapshot_id,
+    )
+    assert "size_bytes" not in t.read().columns  # visibly broken
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = run(
+            spark,
+            EngineConfig(
+                log_dir=log_dir,
+                table_dir=table_dir,
+                max_events_per_batch=1_000,
                 snapshot_mode="RECOVERY",
             ),
         )
+    assert not [x for x in w if "degenerates" in str(x.message)]
+    assert out["batches_applied"] > 0  # streamed the tail, no snapshot
+    cur = LakeTable(spark, table_dir).current()
+    assert cur.properties.get("schema_history_recovered") is True
+    schema = {f.name: f.dataType.simpleString() for f in cur.schema().fields}
+    assert schema.get("size_bytes") == "bigint"
+    golden = golden_key_hashes(read_log_pandas(log_dir))
+    assert _final_hashes(spark, table_dir) == golden
+
+
+def test_snapshot_mode_recovery_fresh_table_runs_initial(
+    spark, log_dir, tmp_path
+):
+    """A fresh table has no history OR data to recover — RECOVERY runs
+    the snapshot phase like INITIAL (the WHEN_NEEDED precedent)."""
+    table_dir = str(tmp_path / "tbl")
+    out = run(
+        spark,
+        EngineConfig(
+            log_dir=log_dir,
+            table_dir=table_dir,
+            max_events_per_batch=1_000,
+            snapshot_mode="RECOVERY",
+        ),
+    )
+    assert out["batches_applied"] > 0
     golden = golden_key_hashes(read_log_pandas(log_dir))
     assert _final_hashes(spark, table_dir) == golden
 

@@ -395,3 +395,63 @@ def test_live_lock_not_reclaimed(spark, tmp_path):
         t._read_lock_holder(lock), time.time()
     )
     os.unlink(lock)
+
+
+def test_rebuild_schema_history_from_footers(spark, tmp_path):
+    """Lake-native RECOVERY (reference snapshot mode RECOVERY,
+    mysql/MysqlInterface.java:43-53): discard/corrupt the manifest's
+    schema lineage, rebuild it from the data files' own parquet footer
+    schemas, and reads come back with the exact evolved types."""
+    from plugin_debezium_spark.plans.evolve import rebuild_schema_history
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    merge_batch(
+        t, _batch(spark, [("r", "a", "c1", "x", "c")]), epoch_id=0, last_lsn=1
+    )
+    b2 = spark.createDataFrame(
+        pd.DataFrame(
+            [("r", "b", "c2", "y", 3_000_000_000, "c")],
+            columns=["repo", "path", "commit", "content", "size_bytes", "op"],
+        )
+    )
+    merge_batch(t, b2, epoch_id=1, last_lsn=2)
+    healthy = t.current()
+    assert len(healthy.schemas) == 2  # lineage: base, +size_bytes
+
+    # corrupt: schema history lost — lineage flattened to the ORIGINAL
+    # schema, every file mapped to it (the failure RECOVERY exists for)
+    t.commit_metadata(
+        schemas=[healthy.schemas[0]],
+        schema_id=0,
+        files=[{**f, "schema_id": 0} for f in healthy.files],
+        expected_parent=healthy.snapshot_id,
+    )
+    assert "size_bytes" not in t.read().columns  # visibly broken
+
+    snap = rebuild_schema_history(t)
+    assert snap.properties["schema_history_recovered"] is True
+    # offsets survive the metadata-only commits (state stays usable)
+    assert snap.properties["last_lsn"] == 2
+    df = t.read()
+    assert df.schema["size_bytes"].dataType == T.LongType()
+    got = {r["path"]: r["size_bytes"] for r in df.collect()}
+    assert got == {"a": None, "b": 3_000_000_000}
+
+
+def test_rebuild_schema_history_noop_on_healthy_table(spark, tmp_path):
+    """Rebuilding a healthy table's history must reproduce equivalent
+    reads (idempotence of the recovery path)."""
+    from plugin_debezium_spark.plans.evolve import rebuild_schema_history
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=2)
+    merge_batch(
+        t,
+        _batch(spark, [("r", "a", "c1", "x", "c"), ("r", "b", "c2", "y", "c")]),
+        epoch_id=0,
+        last_lsn=5,
+    )
+    before = {(r["path"], r["content"]) for r in t.read().collect()}
+    schema_before = t.current().schema()
+    rebuild_schema_history(t)
+    assert t.current().schema() == schema_before
+    assert {(r["path"], r["content"]) for r in t.read().collect()} == before
