@@ -88,6 +88,148 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def _band_buckets(
+    sigs: DataFrame, id_col: str, n_perms: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) rows: the signature split into ``bands``
+    equal groups, each hashed to one bucket string. Shared by the
+    all-pairs candidate join and the incremental index path."""
+    if n_perms % bands != 0:
+        raise ValueError(
+            f"n_perms ({n_perms}) must divide evenly into bands "
+            f"({bands}) — trailing permutations would silently change "
+            "the LSH sensitivity curve"
+        )
+    rows_per_band = n_perms // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh{j}").cast("string")
+            for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.sha2(F.concat_ws(",", *cols), 256).alias("bucket"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """The PERSISTABLE form of MinHash LSH: (id, band, bucket) rows
+    for every document. At corpus scale this is the dedup state you
+    keep between ingest batches — write it as a parquet/lake table
+    partitioned by band (and bucketed on bucket for a co-located
+    probe join); its size is bands × n_docs rows of ~70 bytes, i.e.
+    ~0.03% of a 100 TB corpus at bands=4.
+
+    The incremental contract (dedup_against_index below): a new batch
+    is flagged against THIS index only — never against the whole
+    corpus text — so per-batch cost is O(batch + collisions), the
+    same discipline as the engine's MOR delta appends
+    (streaming/realtime.py)."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_perms=n_perms, shingle_words=shingle_words
+    )
+    return _band_buckets(sigs, id_col, n_perms, bands)
+
+
+def dedup_against_index(
+    index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL near-dup: flag each NEW doc that LSH-collides with
+    the existing corpus index (first-occurrence-wins dedup, the greedy
+    semantics a streaming curation pipeline needs — the batch analogue
+    of streaming/stateful.py's first-occurrence operator, with
+    near-dup instead of exact-key identity).
+
+    Returns (id, first_match, n_bands_hit): the smallest colliding
+    index id (deterministic representative) and how many of the new
+    doc's bands hit the index (collision strength, monotone in
+    estimated Jaccard). New docs with no collision are absent — they
+    are the survivors whose band rows extend the index
+    (update_index()).
+
+    Scale shape: bucket-equi-join on (band, bucket) — never all-pairs,
+    and never a join against document text. max_bucket_size drops
+    DEGENERATE index buckets (boilerplate) from matching, same
+    rationale as minhash_lsh_candidates."""
+    nb = _band_buckets(
+        minhash_signatures(
+            new_docs,
+            text_col,
+            id_col,
+            n_perms=n_perms,
+            shingle_words=shingle_words,
+        ),
+        id_col,
+        n_perms,
+        bands,
+    )
+    idx = index
+    if max_bucket_size is not None:
+        sizes = idx.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+        keep = sizes.filter(F.col("_n") <= max_bucket_size).select(
+            "band", "bucket"
+        )
+        idx = idx.join(keep, ["band", "bucket"], "left_semi")
+    hits = nb.alias("n").join(
+        idx.alias("i"),
+        (F.col("n.band") == F.col("i.band"))
+        & (F.col("n.bucket") == F.col("i.bucket")),
+    )
+    return hits.groupBy(F.col(f"n.{id_col}").alias(id_col)).agg(
+        F.min(F.col(f"i.{id_col}")).alias("first_match"),
+        F.countDistinct(F.col("n.band")).cast("long").alias("n_bands_hit"),
+    )
+
+
+def update_index(
+    index: DataFrame,
+    new_docs: DataFrame,
+    flagged: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Index after a batch: existing rows ∪ band rows of the batch's
+    SURVIVORS (docs not flagged by dedup_against_index). Keeping
+    flagged docs out preserves the greedy invariant — every index id
+    is a kept document, so first_match always names a retained doc."""
+    survivors = new_docs.join(
+        flagged.select(id_col), id_col, "left_anti"
+    )
+    return index.unionByName(
+        lsh_index(
+            survivors,
+            text_col,
+            id_col,
+            n_perms=n_perms,
+            bands=bands,
+            shingle_words=shingle_words,
+        )
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -106,25 +248,7 @@ def minhash_lsh_candidates(
     are near-identical to thousands of others; exact dedup or a
     representative pass handles them more cheaply). Audit what a cap
     would drop with lsh_bucket_stats(). None (default) = exact."""
-    if n_perms % bands != 0:
-        raise ValueError(
-            f"n_perms ({n_perms}) must divide evenly into bands "
-            f"({bands}) — trailing permutations would silently change "
-            "the LSH sensitivity curve"
-        )
-    rows_per_band = n_perms // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{j}").cast("string") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.sha2(F.concat_ws(",", *cols), 256).alias("bucket"),
-            )
-        )
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = _band_buckets(sigs, id_col, n_perms, bands)
     if max_bucket_size is not None:
         # aggregate (not window): bucket sizes with map-side combine,
         # then a broadcast-able semi filter of small buckets

@@ -1705,6 +1705,17 @@ _TAIL_TWINS = (
     # training is iterative → rows-only check, while emb_ivfpq_topk
     # hash-checks the same ADC scoring + routing end to end with
     # seeded codebooks; training determinism/recall stay pytest-covered
+    # -- round-6 evictions (window slots for text_quality_clf and
+    # dedup_incremental_lsh, per the round-5 verdict #7 discipline):
+    "text_duplicate_lines",  # structural-duplicate sibling of
+    # text_dedup_paragraphs (same explode→group derivation one unit
+    # down); the paragraph form holds the driver row, the line form
+    # stays hash-verifiable here + covered by test_dataops.py
+    "emb_ivf_assign_numpy",  # since round 5 the numpy assignment path
+    # is hash-checked INSIDE the emb_ivf_train_topk window oracle
+    # (train_ivf_centroids assigns with numpy each Lloyd round), so
+    # the standalone row is now a twin; sql/numpy agreement stays
+    # pytest-asserted (test_numpy_impls_agree_with_sql)
 )
 QUERIES = {k: v for k, v in QUERIES.items() if k not in _TAIL_TWINS}
 for _name in _TAIL_TWINS:

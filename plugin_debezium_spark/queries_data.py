@@ -1760,3 +1760,139 @@ DATA_QUERIES.update(
         "emb_dedup_clusters": emb_dedup_clusters,
     }
 )
+
+
+def text_quality_clf(spark, sf_dir):
+    """Trained hashed-feature linear quality classifier
+    (operators/qualityclf.py, fastText shape — Joulin et al. 2016):
+    weak labels from an integer Gopher-style gate (n_words >= 20 AND
+    alpha-word fraction >= 0.8, cross-multiplied so no floats), then
+    count-native training (weight = positive-label tf − negative tf
+    per hashed uni/bi-gram bucket) and BIGINT dot-product scoring.
+    Training AND inference are both in the plan — the whole derivation
+    is single-statement SQL, so the oracle hash-checks the trained
+    model's scores end to end (the emb_ivfpq_topk discipline applied
+    to supervised learning). Docs with no grams keep a row via the
+    label spine (the text_decontaminate spine lesson)."""
+    from plugin_debezium_spark.functions.text import gopher_word_stats
+    from plugin_debezium_spark.operators.qualityclf import (
+        hashed_features,
+        score_documents,
+        train_linear_classifier,
+    )
+
+    d = _docs(spark, sf_dir)
+    stats = d.select("doc_id", *gopher_word_stats("text"))
+    labels = stats.select(
+        "doc_id",
+        F.when(
+            (F.col("n_words") >= 20)
+            & (F.col("n_alpha_words") * 10 >= F.col("n_words") * 8),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("label"),
+    )
+    feats = hashed_features(d, n_buckets=4096, max_ngram=2)
+    weights = train_linear_classifier(feats, labels)
+    scores = score_documents(feats, weights)
+    return labels.join(scores, "doc_id", "left").select(
+        "doc_id",
+        "label",
+        F.coalesce(F.col("clf_score"), F.lit(0)).alias("clf_score"),
+    )
+
+
+def dedup_incremental_lsh(spark, sf_dir):
+    """Incremental near-dup dedup against a PERSISTED LSH index
+    (operators/neardup.lsh_index + dedup_against_index): the corpus
+    half (even doc_id) is the existing index state; the delta half
+    (odd doc_id) is the arriving batch, flagged by a directional
+    (band, bucket) join — the first-occurrence-wins semantics a
+    streaming curation pipeline applies per ingest batch, never
+    re-touching corpus text. Output: flagged delta docs with their
+    deterministic representative (min colliding index id) and
+    collision strength (distinct bands hit)."""
+    from plugin_debezium_spark.operators.neardup import (
+        dedup_against_index,
+        lsh_index,
+    )
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    delta = d.filter(F.col("doc_id") % 2 == 1)
+    idx = lsh_index(corpus, n_perms=8, bands=2)
+    return dedup_against_index(idx, delta, n_perms=8, bands=2)
+
+
+DATA_ORACLES["text_quality_clf"] = """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> length(x) > 0) AS wf
+  FROM documents
+),
+labels AS (
+  SELECT doc_id,
+         CASE WHEN len(wf) >= 20
+               AND len(list_filter(wf, x -> regexp_matches(x, '[A-Za-z]')))
+                   * 10 >= len(wf) * 8
+              THEN 1 ELSE 0 END::BIGINT AS label
+  FROM words
+),
+grams AS (
+  SELECT doc_id, unnest(wf) AS g FROM words
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(wf) - 1),
+                               i -> array_to_string(wf[i:i+1], ' '))) AS g
+  FROM words WHERE len(wf) >= 2
+),
+feats AS (
+  SELECT doc_id,
+         (('0x' || substr(sha256(g), 1, 15))::BIGINT) % 4096 AS bucket,
+         count(*)::BIGINT AS tf
+  FROM grams GROUP BY 1, 2
+),
+w AS (
+  SELECT bucket,
+         (sum(CASE WHEN label = 1 THEN tf ELSE 0 END)
+          - sum(CASE WHEN label = 0 THEN tf ELSE 0 END))::BIGINT AS weight
+  FROM feats JOIN labels USING (doc_id) GROUP BY 1
+),
+scores AS (
+  SELECT f.doc_id, sum(f.tf * w.weight)::BIGINT AS clf_score
+  FROM feats f JOIN w USING (bucket) GROUP BY 1
+)
+SELECT l.doc_id, l.label, coalesce(s.clf_score, 0)::BIGINT AS clf_score
+FROM labels l LEFT JOIN scores s ON l.doc_id = s.doc_id
+"""
+
+DATA_ORACLES["dedup_incremental_lsh"] = _MINHASH_SIG + """,
+banded AS (
+  SELECT doc_id, 0 AS band,
+         sha256(mh0::VARCHAR || ',' || mh1::VARCHAR || ',' ||
+                mh2::VARCHAR || ',' || mh3::VARCHAR) AS bucket
+  FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         sha256(mh4::VARCHAR || ',' || mh5::VARCHAR || ',' ||
+                mh6::VARCHAR || ',' || mh7::VARCHAR) AS bucket
+  FROM sig
+)
+SELECT n.doc_id AS doc_id,
+       min(i.doc_id)::BIGINT AS first_match,
+       count(DISTINCT n.band)::BIGINT AS n_bands_hit
+FROM banded n JOIN banded i
+  ON n.band = i.band AND n.bucket = i.bucket
+WHERE n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+GROUP BY 1
+"""
+
+DATA_QUERIES.update(
+    {
+        "text_quality_clf": text_quality_clf,
+        "dedup_incremental_lsh": dedup_incremental_lsh,
+    }
+)
