@@ -56,6 +56,9 @@ def curate(
     max_contam_hits: int = 0,
     contam_ngram: int = 3,
     strip_dup_paragraphs: bool = False,
+    quality_clf: bool = False,
+    clf_buckets: int = 1 << 18,
+    clf_min_score: int = 0,
     source_quota: int | None = None,
     source_col: str = "source",
     pack_block_tokens: int | None = None,
@@ -143,6 +146,50 @@ def curate(
         ).select(df["*"]),
         "after_quality",
     )
+
+    # 1b. optional supervised quality filter: a fastText-shape linear
+    # classifier (operators/qualityclf.py) trained ON THE GATE'S OWN
+    # weak labels over the full input (pass/fail as 1/0), then applied
+    # to the gate's survivors — docs whose hashed-gram evidence scores
+    # below clf_min_score are dropped even though they squeaked past
+    # the heuristic thresholds (the CCNet/LLaMA-style model-based
+    # second opinion). Integer-exact: training is one
+    # map-side-combined groupBy, the ≤clf_buckets-row model broadcasts.
+    if quality_clf:
+        from plugin_debezium_spark.operators.qualityclf import (
+            hashed_features,
+            score_documents,
+            train_linear_classifier,
+        )
+
+        labels = q.select(
+            F.col(id_col),
+            (
+                (F.col("n_words") >= min_words)
+                & (F.col("rep_max") * rep_den <= F.col("rep_total") * rep_num)
+                & (
+                    F.col("n_alpha_words") * alpha_den
+                    >= F.col("n_words") * alpha_num
+                )
+            )
+            .cast("long")
+            .alias("label"),
+        )
+        feats = hashed_features(
+            df, text_col=text_col, id_col=id_col, n_buckets=clf_buckets
+        )
+        weights = train_linear_classifier(feats, labels, id_col=id_col)
+        scores = score_documents(feats, weights, id_col=id_col)
+        kept = _stage(
+            kept.join(
+                scores.filter(F.col("clf_score") >= clf_min_score).select(
+                    id_col
+                ),
+                id_col,
+                "left_semi",
+            ),
+            "after_quality_clf",
+        )
 
     # 2. exact dedup: keep each content hash's min-id doc
     reps = exact_dedup(kept, text_col=text_col, id_col=id_col).select(
@@ -265,6 +312,14 @@ def main(argv: list[str] | None = None) -> int:
         "(tok_offset, first/last block) per split at this block size",
     )
     p.add_argument(
+        "--quality-clf",
+        action="store_true",
+        help="second-opinion supervised quality filter: linear "
+        "classifier over hashed uni/bi-grams trained on the gate's "
+        "weak labels; drops gate survivors scoring < --clf-min-score",
+    )
+    p.add_argument("--clf-min-score", type=int, default=0)
+    p.add_argument(
         "--strip-dup-paragraphs",
         action="store_true",
         help="rewrite docs with corpus-wide duplicate paragraphs "
@@ -295,6 +350,8 @@ def main(argv: list[str] | None = None) -> int:
         max_contam_hits=args.max_contam_hits,
         contam_ngram=args.contam_ngram,
         strip_dup_paragraphs=args.strip_dup_paragraphs,
+        quality_clf=args.quality_clf,
+        clf_min_score=args.clf_min_score,
         source_quota=args.source_quota,
         pack_block_tokens=args.pack_block,
     )

@@ -213,3 +213,39 @@ def test_curate_source_quota_and_packing_stages(spark):
             assert r["first_block"] == pos // 8
             assert r["last_block"] == (pos + r["n_tokens"] - 1) // 8
             pos += r["n_tokens"]
+
+
+def test_curate_quality_clf_stage(spark):
+    """The supervised second-opinion stage: output is a subset of the
+    gate's survivors, the stage count lands between gate and exact
+    dedup, and the selection is deterministic. With the margin pushed
+    impossibly high, everything is dropped (the filter is real)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base, bstats = curate(spark, docs, min_words=3, max_rep_frac=0.9)
+    out, stats = curate(
+        spark, docs, min_words=3, max_rep_frac=0.9,
+        quality_clf=True, clf_buckets=4096,
+    )
+    assert (
+        stats["after_quality"]
+        >= stats["after_quality_clf"]
+        >= stats["after_exact_dedup"]
+    )
+    assert stats["after_quality_clf"] > 0
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    # classifier can only REMOVE relative to the heuristic-only run
+    assert ids <= base_ids
+    again, stats2 = curate(
+        spark, docs, min_words=3, max_rep_frac=0.9,
+        quality_clf=True, clf_buckets=4096,
+    )
+    assert stats2["after_quality_clf"] == stats["after_quality_clf"]
+    nothing, nstats = curate(
+        spark, docs, min_words=3, max_rep_frac=0.9,
+        quality_clf=True, clf_buckets=4096,
+        clf_min_score=1 << 60,
+    )
+    assert nstats["after_quality_clf"] == 0
+    for f in (base, out, again, nothing):
+        f._curate_caches_release()
