@@ -73,6 +73,20 @@ def plan_epochs(
     return epochs
 
 
+def log_high_water_mark(log_dir: str) -> int:
+    """Max lsn across the whole log, from parquet footer statistics
+    only (zero data pages). SCHEMA_ONLY/NO_DATA's "current position"
+    pin: Debezium captures the server's current log position at first
+    connector start and streams only past it; the lake-resident
+    equivalent is the log's high-water mark at engine start
+    (streaming/engine.py). Returns -1 for an empty or absent log."""
+    try:
+        stats = _bucket_stats(log_dir, -1)
+    except FileNotFoundError:
+        return -1
+    return max((hi for _, _, hi in stats), default=-1)
+
+
 def _bucket_stats(log_dir: str, last_lsn: int) -> list[tuple[int, int, int]]:
     """Per-bucket (bucket, n_remaining, max_lsn) from parquet FOOTER
     metadata only — planning a 10^10-event replay reads zero data

@@ -93,8 +93,16 @@ class EngineConfig:
     #                  waits for a 100 TB snapshot to finish
     #   WHEN_NEEDED  — snapshot iff no committed offsets exist
     #                  (fresh table → INITIAL, resumed table → NEVER)
-    # RECOVERY/SCHEMA_ONLY need a live server and degrade to INITIAL
-    # with a visible warning.
+    #   RECOVERY     — rebuild a lost/corrupt schema history from the
+    #                  table's own parquet footers, then stream with no
+    #                  data snapshot (plans/evolve.py)
+    #   SCHEMA_ONLY / NO_DATA — no data snapshot; stream only events
+    #                  arriving AFTER first engine start (the log's
+    #                  high-water mark is pinned as the starting offset
+    #                  — Debezium's positional no_data-vs-never
+    #                  distinction). Schema capture stays inference-
+    #                  driven as events stream (we hold a log, not a
+    #                  live server to interrogate for DDL).
     snapshot_mode: str = "INITIAL"
     # INCREMENTAL mode inputs: parquet dir of the source table's state
     # (one row per key) captured at position incremental_source_lsn;
@@ -260,11 +268,19 @@ def filter_events(cfg: EngineConfig, events: DataFrame) -> DataFrame:
     events = drop_ddl(events)
     if cfg.truncate_policy == "drop":
         events = events.filter(F.col("op") != OP_TRUNCATE)
-    if (cfg.snapshot_mode or "INITIAL").upper() in ("NEVER", "INCREMENTAL"):
+    if (cfg.snapshot_mode or "INITIAL").upper() in (
+        "NEVER",
+        "INCREMENTAL",
+        "SCHEMA_ONLY",
+        "NO_DATA",
+    ):
         # NEVER: op='r' events are skipped at the scan (reference
         # MysqlInterface.java:43-53). INCREMENTAL: snapshot rows come
         # from the chunked source dump, never from the log — any 'r'
         # rows the log happens to carry are stale duplicates.
+        # SCHEMA_ONLY/NO_DATA: the lsn pin already excludes the
+        # historical snapshot prefix; the filter additionally guards
+        # against 'r' rows appended later (an ALWAYS-style re-dump).
         events = events.filter(F.col("op") != "r")
     events = include_exclude(
         events,
@@ -795,22 +811,30 @@ def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
             rebuild_schema_history(table)
             mode = "NEVER"
     elif mode in ("SCHEMA_ONLY", "NO_DATA"):
-        # these capture a live server's CURRENT schema without data —
-        # meaningless against a lake-resident log, which carries no
-        # server to interrogate. Warn VISIBLY (round-4 item: a user
-        # porting such a flow gets different behavior — a silent
-        # comment is not enough).
-        import warnings
+        # real SCHEMA_ONLY/NO_DATA semantics, lake-natively
+        # (MysqlInterface.java:43-53): Debezium skips the data
+        # snapshot and streams only changes arriving AFTER first
+        # connector start — the positional distinction from NEVER,
+        # which replays the log from its beginning. Our "current
+        # position" is the log's high-water mark at first start,
+        # pinned with a durable offset-only commit BEFORE any epoch
+        # runs: a stop/crash between runs must never re-derive a
+        # LATER hwm (events landing in the gap belong to the stream).
+        # Schema capture itself stays inference-driven — the engine's
+        # per-epoch evolution derives types from envelopes as they
+        # stream; there is no live server to interrogate for DDL.
+        if last_lsn < 0:
+            from plugin_debezium_spark.sources.log_reader import (
+                log_high_water_mark,
+            )
 
-        warnings.warn(
-            f"snapshot_mode={mode} needs a live database server to "
-            "differ from INITIAL; with a lake-resident change log it "
-            "degenerates to INITIAL (full snapshot phase, then "
-            "stream). Reference modes: MysqlInterface.java:43-53.",
-            UserWarning,
-            stacklevel=2,
-        )
-        mode = "INITIAL"
+            hwm = log_high_water_mark(cfg.log_dir)
+            if hwm >= 0:
+                table.commit(
+                    [], set(), properties={"last_lsn": hwm}
+                )
+                last_lsn = hwm
+        mode = "NEVER"
 
     applied: list = []
     state = {"records": 0, "in_snapshot": True, "stop": None}

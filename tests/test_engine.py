@@ -425,27 +425,84 @@ def test_snapshot_mode_initial_only_stops_after_snapshot(
     assert _final_hashes(spark, table_dir) == golden_key_hashes(log_pdf)
 
 
-def test_degenerate_snapshot_modes_warn_and_run_as_initial(
+def _copy_buckets(src: str, dst: str, pred):
+    """Stage a log in phases: copy the lsn_bucket= partitions whose
+    bucket index satisfies pred (buckets are contiguous lsn ranges, so
+    a bucket prefix is an lsn prefix — 'the log as it existed then')."""
+    import shutil
+
+    os.makedirs(dst, exist_ok=True)
+    for name in sorted(os.listdir(src)):
+        if not name.startswith("lsn_bucket="):
+            continue
+        if pred(int(name.split("=")[1])) and not os.path.exists(
+            os.path.join(dst, name)
+        ):
+            shutil.copytree(os.path.join(src, name), os.path.join(dst, name))
+
+
+def test_snapshot_mode_schema_only_streams_from_start_position(
     spark, log_dir, tmp_path
 ):
-    """SCHEMA_ONLY/NO_DATA need a live server to interrogate — with a
-    lake-resident log they run as INITIAL, and since round 4 that
-    degeneration warns visibly instead of silently differing from what
-    a ported flow expects. (RECOVERY left this list in round 6: it has
-    real lake-native semantics now — see the recovery tests below.)"""
+    """Real SCHEMA_ONLY/NO_DATA semantics (MysqlInterface.java:43-53):
+    no data snapshot, stream only events arriving AFTER first engine
+    start — the positional distinction from NEVER, which replays the
+    whole log. First start pins the log's high-water mark as a durable
+    offset; events appended later are applied, everything historical
+    (snapshot prefix AND old stream events) is not."""
+    staged = str(tmp_path / "staged_log")
+    split = 40  # buckets 0..39 exist at first start, 40.. arrive later
+    _copy_buckets(log_dir, staged, lambda b: b < split)
     table_dir = str(tmp_path / "tbl")
-    with pytest.warns(UserWarning, match="degenerates to INITIAL"):
-        run(
-            spark,
-            EngineConfig(
-                log_dir=log_dir,
-                table_dir=table_dir,
-                max_events_per_batch=1_000,
-                snapshot_mode="SCHEMA_ONLY",
-            ),
-        )
-    golden = golden_key_hashes(read_log_pandas(log_dir))
-    assert _final_hashes(spark, table_dir) == golden
+    cfg = EngineConfig(
+        log_dir=staged,
+        table_dir=table_dir,
+        max_events_per_batch=1_000,
+        snapshot_mode="SCHEMA_ONLY",
+    )
+    out = run(spark, cfg)
+    log_pdf = read_log_pandas(log_dir)
+    hwm = int(log_pdf[log_pdf["lsn_bucket"] < split]["lsn"].max())
+    assert out["batches_applied"] == 0
+    t = LakeTable(spark, table_dir)
+    assert t.read().count() == 0  # schema only, no historical data
+    # the hwm is pinned durably at FIRST start, so events landing
+    # between runs are streamed, never skipped by a re-derived pin
+    assert int(t.current().properties["last_lsn"]) == hwm
+
+    _copy_buckets(log_dir, staged, lambda b: b >= split)
+    out2 = run(spark, cfg)
+    assert out2["batches_applied"] > 0
+    tail = log_pdf[(log_pdf["lsn"] > hwm) & (log_pdf["op"] != "r")]
+    assert _final_hashes(spark, table_dir) == golden_key_hashes(tail)
+
+
+def test_snapshot_mode_no_data_alias_and_rerun_noop(spark, log_dir, tmp_path):
+    """NO_DATA is the reference's newer name for SCHEMA_ONLY; against a
+    fully-written log a first run pins hwm = end-of-log (empty table)
+    and a re-run is a no-op — and neither warns (the mode stopped
+    degenerating to INITIAL in round 6)."""
+    import warnings
+
+    table_dir = str(tmp_path / "tbl")
+    cfg = EngineConfig(
+        log_dir=log_dir,
+        table_dir=table_dir,
+        max_events_per_batch=1_000,
+        snapshot_mode="NO_DATA",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        run(spark, cfg)
+    assert not [x for x in w if "degenerates" in str(x.message)]
+    t = LakeTable(spark, table_dir)
+    assert t.read().count() == 0
+    log_pdf = read_log_pandas(log_dir)
+    assert int(t.current().properties["last_lsn"]) == int(log_pdf["lsn"].max())
+    snap_before = t.current().snapshot_id
+    out2 = run(spark, cfg)
+    assert out2["batches_applied"] == 0
+    assert LakeTable(spark, table_dir).current().snapshot_id == snap_before
 
 
 def test_snapshot_mode_recovery_rebuilds_history_and_resumes(
