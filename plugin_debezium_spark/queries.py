@@ -789,13 +789,17 @@ def cdc_sqlite_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     cur.execute("COMMIT")
     con.close()
+    # sizing: this query proves CAPTURE transparency; multi-epoch
+    # replay mechanics are cdc_replay_final_state's job. Small epochs
+    # here just multiply fixed per-epoch Spark costs (~14 epochs cost
+    # 68s of replay at sf0.1 vs ~8s in one epoch — measured round 6).
     capture_to_log(
-        spark, src, f"{d}/log", bucket_size=4096, snapshot_mode="NEVER"
+        spark, src, f"{d}/log", bucket_size=65536, snapshot_mode="NEVER"
     )
     cfg = EngineConfig(
         log_dir=f"{d}/log",
         table_dir=f"{d}/tbl",
-        max_events_per_batch=4096,
+        max_events_per_batch=1_000_000,
         write_metrics=False,
     )
     run(spark, cfg)
