@@ -166,6 +166,191 @@ def stream_log(
     return writer.start()
 
 
+def stream_rows(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    checkpoint_path: str,
+    fmt: str = "inline",
+    deleted_policy=None,
+    deleted_field: str | None = "deleted",
+    key_mode: str = "keep",
+    metadata_field: str | None = None,
+    metadata_properties: dict | None = None,
+    commit_mode: str = "on_each_batch",
+    max_wait_s: float | None = None,
+    poll_interval_s: float = 1.0,
+):
+    """Per-row realtime delivery — the reference's RealtimeTrigger
+    contract (AbstractDebeziumRealtimeTrigger.java:117-186): one shaped
+    record per change event, emitted in commit (LSN) order as a pull
+    generator. The reference pushes each record to a single-consumer
+    reactive FluxSink on the driver JVM; the honest Spark equivalent is
+    ``toLocalIterator`` over each epoch's shaped DataFrame — rows are
+    fetched one partition at a time (bounded driver memory), the
+    consumer's pull rate IS the backpressure, and everything upstream
+    of the iterator (decode, shaping, ordering) still runs distributed.
+
+    Unlike the applier paths, NOTHING is deduped: every event in the
+    log is emitted (the reference emits every ChangeEvent; LWW belongs
+    to the sink, not the trigger). Images decode per epoch with the
+    same variant inference the engine uses, so payload schema evolution
+    shows up in emitted rows as it does in the lake table.
+
+    Shaping mirrors ChangeConsumer's format pipeline: ``fmt`` is
+    RAW/INLINE/WRAP (P1-P3), ``deleted_field`` adds the boolean P4
+    column, ``key_mode`` "merge"/"drop"/"keep" is P5, and
+    ``metadata_field`` packs the P6 struct (with ``metadata_properties``
+    passthrough).
+
+    Offsets: the last FULLY-DRAINED epoch's hi LSN is committed to
+    ``checkpoint_path`` (atomic tmp+rename) — per epoch under
+    ``commit_mode="on_each_batch"``, only at generator close under
+    ``"on_stop"`` (the reference's two commit modes,
+    AbstractDebeziumTask.java:154-163). A consumer that stops
+    mid-epoch re-receives that epoch's rows on restart: the same
+    at-least-once boundary as the reference's markProcessed/
+    markBatchFinished (ChangeConsumer.java:86-89,116-119) — dedupe
+    downstream by lsn if the sink needs exactly-once.
+
+    snapshot_mode interplay: NEVER/INCREMENTAL skip op='r' rows via
+    filter_events; SCHEMA_ONLY/NO_DATA pin the log's high-water mark
+    at first start (committed to the checkpoint immediately, the
+    engine's pin discipline) and emit only newer events.
+
+    ``max_wait_s``: after draining, keep polling for new log rows for
+    this long (reference maxWait) before the generator ends; None =
+    end at first drain."""
+    import json as _json
+    import os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from plugin_debezium_spark.operators import shape as _shape
+    from plugin_debezium_spark.operators.filters import Deleted
+    from plugin_debezium_spark.plans.fs import LocalMetaFS
+    from plugin_debezium_spark.sources.log_reader import (
+        log_high_water_mark,
+        plan_epochs,
+        read_range,
+    )
+    from plugin_debezium_spark.streaming.engine import (
+        _variant_ddl_to_struct,
+    )
+
+    if fmt not in ("raw", "inline", "wrap"):
+        raise ValueError(f"fmt must be raw/inline/wrap: {fmt}")
+    if commit_mode not in ("on_each_batch", "on_stop"):
+        raise ValueError(f"unknown commit_mode: {commit_mode}")
+    deleted_policy = (
+        Deleted.ADD_FIELD if deleted_policy is None else deleted_policy
+    )
+    fs = LocalMetaFS()
+    mode = (cfg.snapshot_mode or "INITIAL").upper()
+
+    def _read_offset() -> int | None:
+        if not fs.exists(checkpoint_path):
+            return None
+        return int(_json.loads(fs.read_text(checkpoint_path))["last_lsn"])
+
+    def _commit(lsn: int) -> None:
+        fs.mkdirs(os.path.dirname(checkpoint_path) or ".")
+        fs.write_atomic(
+            checkpoint_path, _json.dumps({"last_lsn": int(lsn)})
+        )
+
+    offset = _read_offset()
+    if offset is None:
+        offset = -1
+        if mode in ("SCHEMA_ONLY", "NO_DATA"):
+            offset = log_high_water_mark(cfg.log_dir)
+            if offset >= 0:
+                _commit(offset)  # pin BEFORE emitting (engine parity)
+
+    def _shaped(events):
+        ev = events
+        # one inference over BOTH images (before appears on u/d only):
+        # epoch-bounded agg, same schema_of_variant_agg the engine uses
+        ddl = (
+            ev.select(
+                F.explode(
+                    F.array("before_json", "after_json")
+                ).alias("_j")
+            )
+            .filter(F.col("_j").isNotNull())
+            .agg(F.expr("schema_of_variant_agg(parse_json(_j))"))
+            .collect()[0][0]
+        )
+        schema = _variant_ddl_to_struct(ddl, T.StructType([]))
+        if not schema.fields:  # keyless epoch of tombstones only
+            schema = T.StructType([T.StructField("content", T.StringType())])
+        s = schema.simpleString()
+        typed = ev.select(
+            "lsn",
+            "ts_ms",
+            "op",
+            "key",
+            "source",
+            *(["transaction"] if "transaction" in ev.columns else []),
+            *(
+                ["message_json"]
+                if fmt == "raw" and "message_json" in ev.columns
+                else []
+            ),
+            F.expr(f"cast(parse_json(before_json) as {s})").alias("before"),
+            F.expr(f"cast(parse_json(after_json) as {s})").alias("after"),
+        )
+        if fmt == "raw":
+            return _shape.raw(typed).orderBy(F.col("value.lsn"))
+        out = (
+            _shape.inline(typed, deleted_policy)
+            if fmt == "inline"
+            else _shape.wrap(typed, deleted_policy)
+        )
+        if deleted_field:
+            out = _shape.add_deleted(out, deleted_field)
+        if key_mode in ("merge", "drop"):
+            out = _shape.add_key(out, drop=key_mode == "drop")
+        if metadata_field:
+            out = _shape.add_metadata(
+                out, metadata_field, metadata_properties
+            )
+        return out.orderBy("lsn")
+
+    last_drained = offset
+    try:
+        deadline = None
+        while True:
+            epochs = plan_epochs(
+                spark, cfg.log_dir, last_drained, cfg.max_events_per_batch
+            )
+            for ep in epochs:
+                events = filter_events(
+                    cfg,
+                    read_range(
+                        spark, cfg.log_dir, ep["lo"], ep["hi"], ep["buckets"]
+                    ),
+                )
+                for row in _shaped(events).toLocalIterator():
+                    yield row
+                last_drained = int(ep["hi"])
+                if commit_mode == "on_each_batch":
+                    _commit(last_drained)
+            if max_wait_s is None:
+                return
+            now = _time.time()
+            if epochs:
+                deadline = now + max_wait_s  # new rows reset the wait
+            elif deadline is None:
+                deadline = now + max_wait_s
+            if now >= deadline:
+                return
+            _time.sleep(poll_interval_s)
+    finally:
+        if commit_mode == "on_stop" and last_drained > offset:
+            _commit(last_drained)
+
+
 def run_available_now(
     spark: SparkSession,
     cfg: EngineConfig,
