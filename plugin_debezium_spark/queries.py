@@ -1115,6 +1115,30 @@ def cdc_metadata_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column masking transforms (operators/masking.py): Debezium's
+    column.truncate.to.LENGTH.chars / column.mask.with.LENGTH.chars /
+    column.mask.hash.ALGO.with.salt.SALT family, which the reference
+    reaches through its generic Debezium properties passthrough
+    (AbstractDebeziumTask.java:119,361-368). Pure projections:
+    truncate content to 16 chars, mask lang with four asterisks,
+    hash-pseudonymize path with a salt (stable: equal paths stay
+    joinable while the plaintext never reaches the sink)."""
+    from plugin_debezium_spark.operators.masking import (
+        hash_mask_columns,
+        mask_columns,
+        truncate_columns,
+    )
+
+    env = envelopes_from_events(spark, sf_dir)
+    out = truncate_columns(env, {"content": 16})
+    out = mask_columns(out, {"lang": 4})
+    out = hash_mask_columns(out, {"path": "s4lt"})
+    return out.select(
+        "repo", "path", "commit", "lang", "content", "op", "lsn"
+    )
+
+
 def cdc_include_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 — regex include/exclude on source db/table pushed to scan."""
     env = _with_derived_source(envelopes_from_events(spark, sf_dir))
@@ -1514,6 +1538,18 @@ WITH {ENV_SQL}
 SELECT lang AS tbl, count(*) AS n FROM env
 WHERE lang = 'python' GROUP BY 1
 """,
+    # masking twins: substr == substring, repeat-mask only on non-null,
+    # sha256 hex lowercase on both engines (the repo's sha convention)
+    "cdc_column_masking": f"""
+WITH {ENV_SQL}
+SELECT repo,
+       sha256('s4lt' || path) AS path,
+       commit,
+       CASE WHEN lang IS NULL THEN NULL ELSE '****' END AS lang,
+       substr(content, 1, 16) AS content,
+       op, lsn
+FROM env
+""",
     "cdc_snapshot_union": f"""
 WITH {ENV_SQL},
 uni AS (
@@ -1648,6 +1684,7 @@ QUERIES = {
     "cdc_raw_message_shape": cdc_raw_message_shape,
     "cdc_metadata_shape": cdc_metadata_shape,
     "cdc_include_exclude": cdc_include_exclude,
+    "cdc_column_masking": cdc_column_masking,
     "cdc_snapshot_union": cdc_snapshot_union,
     "cdc_binlog_rotation": cdc_binlog_rotation,
     "cdc_resume_token_order": cdc_resume_token_order,
@@ -1715,6 +1752,13 @@ _TAIL_TWINS = (
     # text_dedup_paragraphs (same explode→group derivation one unit
     # down); the paragraph form holds the driver row, the line form
     # stays hash-verifiable here + covered by test_dataops.py
+    # -- round-6 eviction (window slot for cdc_column_masking, same
+    # verdict-#7 discipline):
+    "emb_topk_ivf",  # seeded (iters=0) twin of emb_ivf_train_topk,
+    # whose round-6 unrolled oracle hash-checks the SAME
+    # probe->route->ADC-free topk derivation after 3 farthest-point +
+    # 3 Lloyd rounds; the seeded form stays hash-verifiable here and
+    # sql/numpy agreement stays pytest-covered
     "emb_ivf_assign_numpy",  # since round 5 the numpy assignment path
     # is hash-checked INSIDE the emb_ivf_train_topk window oracle
     # (train_ivf_centroids assigns with numpy each Lloyd round), so
