@@ -125,6 +125,18 @@ class EngineConfig:
     db_exclude: str | None = None
     table_include: str | None = None
     table_exclude: str | None = None
+    # snapshot.select.statement.overrides analogue (a Debezium property
+    # the reference reaches via its passthrough,
+    # AbstractDebeziumTask.java:119,361-368): per-table predicate that
+    # restricts which SNAPSHOT (op='r') rows are ingested — Debezium's
+    # override replaces the snapshot SELECT, typically to add a WHERE
+    # clause; over a lake-resident log the WHERE clause IS the
+    # override. Keys are "db.table", values SQL boolean expressions
+    # over the envelope frame (key.*, source.*, ts_ms, and the raw
+    # images via get_json_object(after_json, ...) — avoid stateful
+    # exprs like from_json in predicates, CLAUDE.md). Stream events
+    # and other tables' snapshots are never filtered.
+    snapshot_overrides: dict | None = None
     write_metrics: bool = True
     # transaction-aligned epochs: lower each planned epoch boundary so
     # no source transaction (Envelope.java:36-37 transaction block) is
@@ -282,6 +294,21 @@ def filter_events(cfg: EngineConfig, events: DataFrame) -> DataFrame:
         # historical snapshot prefix; the filter additionally guards
         # against 'r' rows appended later (an ALWAYS-style re-dump).
         events = events.filter(F.col("op") != "r")
+    if cfg.snapshot_overrides:
+        for tbl, pred in cfg.snapshot_overrides.items():
+            db, _, t = tbl.partition(".")
+            # null-source snapshot rows can't match an override (never
+            # silently dropped by three-valued logic)
+            match = F.coalesce(
+                (F.col("source.db") == db)
+                & (F.col("source.table") == t),
+                F.lit(False),
+            )
+            # keep: every stream event, every other table's snapshot,
+            # and this table's snapshot rows satisfying the override
+            events = events.filter(
+                (F.col("op") != "r") | ~match | F.expr(pred)
+            )
     events = include_exclude(
         events,
         db_include=cfg.db_include,

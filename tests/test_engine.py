@@ -505,6 +505,49 @@ def test_snapshot_mode_no_data_alias_and_rerun_noop(spark, log_dir, tmp_path):
     assert LakeTable(spark, table_dir).current().snapshot_id == snap_before
 
 
+def test_snapshot_select_statement_override(spark, log_dir, tmp_path):
+    """snapshot.select.statement.overrides analogue: a per-table WHERE
+    predicate restricts which op='r' rows the snapshot phase ingests
+    (Debezium property, reachable in the reference via the properties
+    passthrough AbstractDebeziumTask.java:119,361-368); stream events
+    are never filtered. Golden: drop exactly the snapshot rows failing
+    the predicate from the log, LWW the rest."""
+    import json
+
+    table_dir = str(tmp_path / "tbl")
+    pred = "get_json_object(after_json, '$.lang') = 'python'"
+    run(
+        spark,
+        EngineConfig(
+            log_dir=log_dir,
+            table_dir=table_dir,
+            max_events_per_batch=1_000,
+            snapshot_overrides={"kestra.repofiles": pred},
+        ),
+    )
+    pdf = read_log_pandas(log_dir)
+    keep = pdf.apply(
+        lambda r: r["op"] != "r"
+        or json.loads(r["after_json"]).get("lang") == "python",
+        axis=1,
+    )
+    clipped = pdf[keep]
+    assert len(clipped) < len(pdf)  # the predicate actually clips
+    assert _final_hashes(spark, table_dir) == golden_key_hashes(clipped)
+    # a non-matching table's override never touches this log
+    t2 = str(tmp_path / "tbl2")
+    run(
+        spark,
+        EngineConfig(
+            log_dir=log_dir,
+            table_dir=t2,
+            max_events_per_batch=1_000,
+            snapshot_overrides={"otherdb.othertable": "1 = 0"},
+        ),
+    )
+    assert _final_hashes(spark, t2) == golden_key_hashes(pdf)
+
+
 def test_snapshot_mode_recovery_rebuilds_history_and_resumes(
     spark, log_dir, tmp_path
 ):
