@@ -70,6 +70,74 @@ def hash_mask_columns(
     return df
 
 
+def ingest_transforms(
+    df: DataFrame,
+    truncate: dict[str, int] | None = None,
+    mask: dict[str, int] | None = None,
+    hash_salt: dict[str, str] | None = None,
+    key_cols: tuple[str, ...] = (),
+    content_col: str = "content",
+    sha_col: str = "content_sha256",
+    sha_mode: str = "native",
+    strict: bool = True,
+) -> DataFrame:
+    """Capture-level application on a DECODED row frame (the engine's
+    post-decode, pre-merge hook — EngineConfig.column_truncate/
+    column_mask/column_mask_hash): masked values never reach the lake,
+    Debezium's connector-side semantics. If ``content_col`` is
+    transformed, ``sha_col`` is recomputed over the TRANSFORMED value —
+    the row identity follows what was ingested, and a plaintext must
+    not leak through its own hash. Key columns are refused loudly:
+    masking a primary-key component breaks key identity/bucketing
+    (Debezium's own masking on a pk would corrupt topic compaction the
+    same way)."""
+    named = set()
+    for d in (truncate, mask, hash_salt):
+        named |= set(d or {})
+    bad = named & set(key_cols)
+    if bad:
+        raise ValueError(
+            f"column transforms must not touch key columns {sorted(bad)}: "
+            "masking a key component breaks LWW identity and bucketing"
+        )
+    missing = named - set(df.columns)
+    if missing and strict:
+        raise ValueError(
+            f"column transforms name absent columns {sorted(missing)} "
+            f"(decoded payload columns: {sorted(df.columns)})"
+        )
+    if missing:
+        # engine path (strict=False): an epoch that predates an evolved
+        # column simply has nothing to transform yet — Debezium too
+        # ignores transform properties for columns a table lacks
+        named -= missing
+        have = lambda d: {  # noqa: E731
+            k: v for k, v in (d or {}).items() if k in df.columns
+        }
+        truncate, mask, hash_salt = have(truncate), have(mask), have(hash_salt)
+    # Debezium's column transforms apply to CHARACTER-BASED columns
+    # only; here a sha/'***' over a numeric column would silently null
+    # out under the table-schema cast — refuse instead
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    non_str = sorted(c for c in named if types.get(c) != "string")
+    if non_str:
+        raise ValueError(
+            f"column transforms apply to string columns only, got "
+            f"{ {c: types[c] for c in non_str} } — Debezium's "
+            "truncate/mask/mask.hash are character-column transforms"
+        )
+    df = truncate_columns(df, truncate or {})
+    df = mask_columns(df, mask or {})
+    df = hash_mask_columns(df, hash_salt or {})
+    if content_col in named and sha_col in df.columns:
+        from plugin_debezium_spark.functions.hashing import content_sha256
+
+        df = df.withColumn(
+            sha_col, content_sha256(F.col(content_col), sha_mode)
+        )
+    return df
+
+
 def mask_envelope_images(
     df: DataFrame,
     truncate: dict[str, int] | None = None,

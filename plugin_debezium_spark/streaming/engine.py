@@ -137,6 +137,17 @@ class EngineConfig:
     # exprs like from_json in predicates, CLAUDE.md). Stream events
     # and other tables' snapshots are never filtered.
     snapshot_overrides: dict | None = None
+    # column.truncate.to.L.chars / column.mask.with.L.chars /
+    # column.mask.hash.ALGO.with.salt.S analogues (Debezium properties,
+    # reference passthrough AbstractDebeziumTask.java:119,361-368),
+    # applied CAPTURE-SIDE: post-decode, pre-merge, on every ingest
+    # path (batch, streaming foreachBatch, ALWAYS re-snapshot) — masked
+    # values never reach the lake, and content_sha256 follows the
+    # transformed content (operators/masking.ingest_transforms). Key
+    # columns are refused. {col: len} / {col: len} / {col: salt}.
+    column_truncate: dict | None = None
+    column_mask: dict | None = None
+    column_mask_hash: dict | None = None
     write_metrics: bool = True
     # transaction-aligned epochs: lower each planned epoch boundary so
     # no source transaction (Envelope.java:36-37 transaction block) is
@@ -474,6 +485,25 @@ def _epoch_agg(latest: DataFrame):
     return latest.agg(*aggs).collect()[0]
 
 
+def _ingest_transforms(decoded: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Capture-side column transforms (column_truncate/column_mask/
+    column_mask_hash) on the decoded pre-merge frame — a no-op unless
+    configured, so the hot path pays nothing."""
+    if not (cfg.column_truncate or cfg.column_mask or cfg.column_mask_hash):
+        return decoded
+    from plugin_debezium_spark.operators.masking import ingest_transforms
+
+    return ingest_transforms(
+        decoded,
+        truncate=cfg.column_truncate,
+        mask=cfg.column_mask,
+        hash_salt=cfg.column_mask_hash,
+        key_cols=KEY_COLS,
+        sha_mode=cfg.sha_mode,
+        strict=False,  # pre-evolution epochs lack evolved columns
+    )
+
+
 def _apply_epoch_variant(
     spark: SparkSession,
     table: LakeTable,
@@ -533,6 +563,7 @@ def _apply_epoch_variant(
             F.col("op"),
             F.col("_bucket"),
         )
+        decoded = _ingest_transforms(decoded, cfg)
         n_batch_keys = int(agg["n"])
         touched = sorted(int(x) for x in agg["bs"])
         if t_lsn is not None:
@@ -611,8 +642,11 @@ def _apply_epoch_json(
             work, cols=("after_json",), base=_payload_base(table)
         )
         t1 = time.time()
-        rows = build_batch_rows(
-            work, payload_schema, cfg.decode_mode, cfg.sha_mode
+        rows = _ingest_transforms(
+            build_batch_rows(
+                work, payload_schema, cfg.decode_mode, cfg.sha_mode
+            ),
+            cfg,
         )
         latest = latest_by_key(rows, KEY_COLS, cfg.n_salts).drop("lsn", "ts_ms")
         stats = merge_batch(
