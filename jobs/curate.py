@@ -79,16 +79,12 @@ def curate(
     them (same release-handle pattern as the engine's epoch cache)."""
     from pyspark.sql import functions as F
 
-    from plugin_debezium_spark.functions.text import (
-        gopher_word_stats,
-        hash_split,
-    )
+    from plugin_debezium_spark.functions.text import hash_split
     from plugin_debezium_spark.operators.neardup import (
         dedup_cluster_reps,
         exact_dedup,
         minhash_lsh_candidates,
         minhash_signatures,
-        word_shingles_expr,
     )
 
     stats: dict[str, int] = {"input": df.count()}
@@ -118,34 +114,16 @@ def curate(
             rw.select(id_col, F.col("text_dedup").alias(text_col)), id_col
         )
 
-    # 1. quality gate (integer cross-multiplied thresholds); the
-    # trigram derivation is THE shared one (word_shingles_expr) so the
-    # gate, the text_gopher_quality query, and its DuckDB oracle can
-    # never desync
-    tri = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.expr(word_shingles_expr(text_col, 3))).alias("tri"),
-        )
-        .groupBy(id_col, "tri")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("rep_max"), F.sum("c").alias("rep_total"))
-    )
-    q = df.select(df["*"], *gopher_word_stats(text_col)).join(tri, id_col)
-    rep_num, rep_den = max_rep_frac.as_integer_ratio()
-    alpha_num, alpha_den = min_alpha_frac.as_integer_ratio()
-    kept = _stage(
-        q.filter(
-            (F.col("n_words") >= min_words)
-            & (F.col("rep_max") * rep_den <= F.col("rep_total") * rep_num)
-            & (
-                F.col("n_alpha_words") * alpha_den
-                >= F.col("n_words") * alpha_num
-            )
-        ).select(df["*"]),
-        "after_quality",
-    )
+    # 1. quality gate — THE shared derivation (jobs/quality_gate.py:
+    # word_shingles_expr trigrams + gopher stats + integer
+    # cross-multiplied thresholds) so this gate, the incremental job's
+    # gate, the classifier's weak labels, the text_gopher_quality
+    # query, and its DuckDB oracle can never desync
+    from jobs.quality_gate import quality_gate_predicate, quality_gate_stats
+
+    q = quality_gate_stats(df, id_col, text_col)
+    gate = quality_gate_predicate(min_words, max_rep_frac, min_alpha_frac)
+    kept = _stage(q.filter(gate).select(df["*"]), "after_quality")
 
     # 1b. optional supervised quality filter: a fastText-shape linear
     # classifier (operators/qualityclf.py) trained ON THE GATE'S OWN
@@ -164,15 +142,7 @@ def curate(
 
         labels = q.select(
             F.col(id_col),
-            (
-                (F.col("n_words") >= min_words)
-                & (F.col("rep_max") * rep_den <= F.col("rep_total") * rep_num)
-                & (
-                    F.col("n_alpha_words") * alpha_den
-                    >= F.col("n_words") * alpha_num
-                )
-            )
-            .cast("long")
+            gate.cast("long")
             .alias("label"),
         )
         feats = hashed_features(

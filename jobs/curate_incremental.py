@@ -84,16 +84,21 @@ def _read_state(spark, path: str, schema: str, exclude_batch: int):
     column is then projected away."""
     from pyspark.sql import functions as F
 
+    import os
+
     names = [c.split()[0] for c in schema.split(",")]
-    try:
-        return (
-            spark.read.schema(schema)
-            .parquet(path)
-            .filter(F.col("batch") != exclude_batch)
-            .select(*names)
-        )
-    except Exception:
+    if not os.path.isdir(path):
+        # no state yet (first increment) — and ONLY that case: a
+        # corrupt or unreadable EXISTING state must raise, not
+        # silently disable dedup for the increment (duplicate content
+        # would commit with no error)
         return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .parquet(path)
+        .filter(F.col("batch") != exclude_batch)
+        .select(*names)
+    )
 
 
 def curate_increment(
@@ -115,14 +120,11 @@ def curate_increment(
     ``{"skipped": True}`` when the pointer is already there."""
     from pyspark.sql import functions as F
 
-    from plugin_debezium_spark.functions.text import gopher_word_stats
     from plugin_debezium_spark.operators.neardup import (
         dedup_against_index,
         dedup_cluster_reps,
-        lsh_index,
         minhash_lsh_candidates,
         minhash_signatures,
-        word_shingles_expr,
     )
     from plugin_debezium_spark.plans.diff import table_diff
     from plugin_debezium_spark.plans.lake import LakeTable
@@ -149,26 +151,14 @@ def curate_increment(
     cand = diff.filter(F.col("op") != "d")
     stats["candidates"] = cand.count()
 
-    # -- 1. quality gate (the curate.py stage-1 derivation verbatim) --
-    tri = (
-        cand.select(
-            "_did",
-            F.explode(
-                F.expr(word_shingles_expr(text_col, 3))
-            ).alias("tri"),
-        )
-        .groupBy("_did", "tri")
-        .agg(F.count("*").alias("c"))
-        .groupBy("_did")
-        .agg(F.max("c").alias("rep_max"), F.sum("c").alias("rep_total"))
-    )
-    rep_num, rep_den = max_rep_frac.as_integer_ratio()
-    alpha_num, alpha_den = min_alpha_frac.as_integer_ratio()
-    q = cand.select(cand["*"], *gopher_word_stats(text_col)).join(tri, "_did")
+    # -- 1. quality gate — THE shared derivation (jobs/quality_gate.py,
+    # same module curate.py and the clf weak labels use; a threshold
+    # change can't desync the batch and incremental gates) -----------
+    from jobs.quality_gate import quality_gate_predicate, quality_gate_stats
+
+    q = quality_gate_stats(cand, "_did", text_col)
     kept = q.filter(
-        (F.col("n_words") >= min_words)
-        & (F.col("rep_max") * rep_den <= F.col("rep_total") * rep_num)
-        & (F.col("n_alpha_words") * alpha_den >= F.col("n_words") * alpha_num)
+        quality_gate_predicate(min_words, max_rep_frac, min_alpha_frac)
     ).select(cand["*"])
     kept = kept.cache()
     stats["after_quality"] = kept.count()
@@ -193,23 +183,31 @@ def curate_increment(
     lsh_kw = dict(
         n_perms=lsh_perms, bands=lsh_bands, shingle_words=lsh_shingle_words
     )
+    # shingle+minhash is the dominant per-doc compute: sign the batch
+    # ONCE and derive the index probe, the within-batch pairs, and the
+    # state append from this frame (was 3x — measured by the A/B tool)
+    sigs = minhash_signatures(
+        fresh, text_col=text_col, id_col="_did",
+        n_perms=lsh_perms, shingle_words=lsh_shingle_words,
+    ).cache()
     flagged = dedup_against_index(
         index,
         fresh,
         text_col=text_col,
         id_col="_did",
         max_bucket_size=max_bucket_size,
+        new_sigs=sigs,
         **lsh_kw,
     ).select("_did")
     surv = fresh.join(flagged, "_did", "left_anti")
     # batch-internal near-dup: cluster the remaining docs against each
-    # other, keep each component's min-id representative
-    sigs = minhash_signatures(
-        surv, text_col=text_col, id_col="_did",
-        n_perms=lsh_perms, shingle_words=lsh_shingle_words,
-    )
+    # other, keep each component's min-id representative. Filtering
+    # the per-doc signature rows to survivors IS minhashing the
+    # survivors, so the candidate pairs (incl. bucket-size capping,
+    # which sees survivor-only bucket sizes) are unchanged.
+    sigs_surv = sigs.join(surv.select("_did"), "_did", "left_semi")
     pairs = minhash_lsh_candidates(
-        sigs, id_col="_did", n_perms=lsh_perms, bands=lsh_bands,
+        sigs_surv, id_col="_did", n_perms=lsh_perms, bands=lsh_bands,
         max_bucket_size=max_bucket_size,
     )
     reps = dedup_cluster_reps(surv, pairs, id_col="_did")
@@ -265,13 +263,20 @@ def curate_increment(
         .write.mode("overwrite")
         .parquet(os.path.join(hashes_path, f"batch={to_snap}"))
     )
+    from plugin_debezium_spark.operators.neardup import _band_buckets
+
     (
-        lsh_index(surv, text_col=text_col, id_col="_did", **lsh_kw)
+        _band_buckets(
+            sigs.join(surv.select("_did"), "_did", "left_semi"),
+            "_did",
+            lsh_perms,
+            lsh_bands,
+        )
         .write.mode("overwrite")
         .parquet(os.path.join(index_path, f"batch={to_snap}"))
     )
     _write_ptr(state_dir, to_snap)
-    for c in (diff, kept, fresh, surv):
+    for c in (diff, kept, fresh, surv, sigs):
         c.unpersist()
     return stats
 

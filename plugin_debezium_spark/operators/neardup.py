@@ -153,6 +153,7 @@ def dedup_against_index(
     bands: int = 4,
     shingle_words: int = 3,
     max_bucket_size: int | None = None,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """DIRECTIONAL near-dup: flag each NEW doc that LSH-collides with
     the existing corpus index (first-occurrence-wins dedup, the greedy
@@ -171,18 +172,18 @@ def dedup_against_index(
     and never a join against document text. max_bucket_size drops
     DEGENERATE index buckets (boilerplate) from matching, same
     rationale as minhash_lsh_candidates."""
-    nb = _band_buckets(
-        minhash_signatures(
+    # shingle+minhash is the dominant per-doc compute — callers that
+    # also need the signatures (within-batch pairs, the state append)
+    # pass them via new_sigs so the batch is minhashed ONCE
+    if new_sigs is None:
+        new_sigs = minhash_signatures(
             new_docs,
             text_col,
             id_col,
             n_perms=n_perms,
             shingle_words=shingle_words,
-        ),
-        id_col,
-        n_perms,
-        bands,
-    )
+        )
+    nb = _band_buckets(new_sigs, id_col, n_perms, bands)
     idx = index
     if max_bucket_size is not None:
         sizes = idx.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
@@ -210,11 +211,24 @@ def update_index(
     n_perms: int = 16,
     bands: int = 4,
     shingle_words: int = 3,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Index after a batch: existing rows ∪ band rows of the batch's
     SURVIVORS (docs not flagged by dedup_against_index). Keeping
     flagged docs out preserves the greedy invariant — every index id
-    is a kept document, so first_match always names a retained doc."""
+    is a kept document, so first_match always names a retained doc.
+    Pass the batch's signatures via new_sigs (the same frame given to
+    dedup_against_index) to avoid re-minhashing survivors — filtering
+    per-doc signature rows by surviving ids IS minhashing the
+    survivors."""
+    if new_sigs is not None:
+        surv_bands = _band_buckets(
+            new_sigs.join(flagged.select(id_col), id_col, "left_anti"),
+            id_col,
+            n_perms,
+            bands,
+        )
+        return index.unionByName(surv_bands)
     survivors = new_docs.join(
         flagged.select(id_col), id_col, "left_anti"
     )

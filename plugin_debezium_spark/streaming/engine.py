@@ -135,7 +135,10 @@ class EngineConfig:
     # over the envelope frame (key.*, source.*, ts_ms, and the raw
     # images via get_json_object(after_json, ...) — avoid stateful
     # exprs like from_json in predicates, CLAUDE.md). Stream events
-    # and other tables' snapshots are never filtered.
+    # and other tables' snapshots are never filtered. Scope: applies
+    # to LOG-resident op='r' rows; INCREMENTAL mode's source-dump
+    # chunks are not envelopes — pre-filter the dump itself (the
+    # user-supplied artifact). Keys must be 'db.table' (validated).
     snapshot_overrides: dict | None = None
     # column.truncate.to.L.chars / column.mask.with.L.chars /
     # column.mask.hash.ALGO.with.salt.S analogues (Debezium properties,
@@ -307,7 +310,15 @@ def filter_events(cfg: EngineConfig, events: DataFrame) -> DataFrame:
         events = events.filter(F.col("op") != "r")
     if cfg.snapshot_overrides:
         for tbl, pred in cfg.snapshot_overrides.items():
-            db, _, t = tbl.partition(".")
+            db, dot, t = tbl.partition(".")
+            if not (db and dot and t):
+                # a typo'd key would otherwise match nothing and the
+                # override — possibly a compliance filter — would be
+                # silently ignored
+                raise ValueError(
+                    f"snapshot_overrides key must be 'db.table', got "
+                    f"{tbl!r}"
+                )
             # null-source snapshot rows can't match an override (never
             # silently dropped by three-valued logic)
             match = F.coalesce(
@@ -884,17 +895,27 @@ def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
         # Schema capture itself stays inference-driven — the engine's
         # per-epoch evolution derives types from envelopes as they
         # stream; there is no live server to interrogate for DDL.
-        if last_lsn < 0:
+        if last_lsn < 0 and not props.get("schema_only_pinned"):
             from plugin_debezium_spark.sources.log_reader import (
                 log_high_water_mark,
             )
 
             hwm = log_high_water_mark(cfg.log_dir)
-            if hwm >= 0:
-                table.commit(
-                    [], set(), properties={"last_lsn": hwm}
-                )
-                last_lsn = hwm
+            # the pin commits even when the log is EMPTY at first
+            # start (hwm=-1): last_lsn=-1 is indistinguishable from a
+            # fresh table, so the "first start happened" fact needs
+            # its own durable marker — otherwise a later run would
+            # re-derive a HIGHER hwm and silently skip every event
+            # that arrived in the gap.
+            table.commit(
+                [],
+                set(),
+                properties={
+                    "last_lsn": hwm,
+                    "schema_only_pinned": True,
+                },
+            )
+            last_lsn = hwm
         mode = "NEVER"
 
     applied: list = []

@@ -123,17 +123,26 @@ def apply_chunk(
         c for c in src.columns if c not in KEY_COLS and c != lsn_col
     ]
     nb = table.current().n_buckets
+    batch = src.select(
+        *KEY_COLS,
+        *payload_cols,
+        content_sha256(F.col("content"), cfg.sha_mode).alias(
+            "content_sha256"
+        ),
+        pos.alias("_lsn"),
+        pos.alias("_ts_ms"),
+        F.lit("r").alias("op"),
+    )
+    # capture-side column transforms apply to bootstrap chunks too —
+    # these ARE snapshot rows, and the config's contract is "masked
+    # values never reach the lake" on EVERY ingest path. (The
+    # snapshot_overrides predicate, by contrast, is an expression over
+    # the ENVELOPE frame and cannot be evaluated on a dump chunk —
+    # pre-filter the dump itself, which is the user-supplied artifact.)
+    from plugin_debezium_spark.streaming.engine import _ingest_transforms
+
     batch = (
-        src.select(
-            *KEY_COLS,
-            *payload_cols,
-            content_sha256(F.col("content"), cfg.sha_mode).alias(
-                "content_sha256"
-            ),
-            pos.alias("_lsn"),
-            pos.alias("_ts_ms"),
-            F.lit("r").alias("op"),
-        )
+        _ingest_transforms(batch, cfg)
         .withColumn("_bucket", bucket_expr(KEY_COLS, nb))
         .cache()
     )

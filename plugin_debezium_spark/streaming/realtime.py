@@ -102,6 +102,28 @@ def stream_log(
     ck = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
     epoch_key = f"stream_epoch:{ck}"
 
+    # SCHEMA_ONLY/NO_DATA positional semantics (engine parity,
+    # _run_inner): pin the log's high-water mark at FIRST start of
+    # this checkpoint and skip everything at or below it — filter
+    # events alone would only drop op='r' rows and silently replay
+    # the historical stream. The pin commits durably even for an
+    # empty log (pin=-1), the property's presence being the
+    # first-start marker; checkpoint-scoped like the epoch key.
+    pin = -1
+    mode = (cfg.snapshot_mode or "INITIAL").upper()
+    if mode in ("SCHEMA_ONLY", "NO_DATA"):
+        pkey = f"schema_only_pin:{ck}"
+        props = table.current().properties
+        if pkey in props:
+            pin = int(props[pkey])
+        else:
+            from plugin_debezium_spark.sources.log_reader import (
+                log_high_water_mark,
+            )
+
+            pin = log_high_water_mark(cfg.log_dir)
+            table.commit([], set(), properties={pkey: pin})
+
     stream = (
         spark.readStream.schema(envelope_log_schema())
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -112,6 +134,8 @@ def stream_log(
         # same ingest filters as the batch engine (DDL drop,
         # include/exclude, shard) — the two paths must not diverge
         batch_df = filter_events(cfg, batch_df)
+        if pin >= 0:
+            batch_df = batch_df.filter(F.col("lsn") > pin)
         if batch_df.isEmpty():
             return
         hi = batch_df.agg(F.max("lsn")).collect()[0][0]
@@ -264,8 +288,11 @@ def stream_rows(
         offset = -1
         if mode in ("SCHEMA_ONLY", "NO_DATA"):
             offset = log_high_water_mark(cfg.log_dir)
-            if offset >= 0:
-                _commit(offset)  # pin BEFORE emitting (engine parity)
+            # pin BEFORE emitting, even when the log is still EMPTY
+            # (hwm=-1): the checkpoint file's existence is the "first
+            # start happened" marker — without it a restart would
+            # re-derive a later hwm and skip gap events (engine parity)
+            _commit(offset)
 
     def _shaped(events):
         ev = events
@@ -300,6 +327,42 @@ def stream_rows(
             F.expr(f"cast(parse_json(before_json) as {s})").alias("before"),
             F.expr(f"cast(parse_json(after_json) as {s})").alias("after"),
         )
+        if cfg.column_truncate or cfg.column_mask or cfg.column_mask_hash:
+            # capture-side column transforms apply to per-row delivery
+            # too (Debezium masks in the connector, upstream of the
+            # RealtimeTrigger): BOTH images, fields present in this
+            # epoch's inferred schema, string-typed only (the engine's
+            # character-column rule), key columns refused
+            from plugin_debezium_spark.models import KEY_COLS
+            from plugin_debezium_spark.operators.masking import (
+                mask_envelope_images,
+            )
+
+            named = (
+                set(cfg.column_truncate or {})
+                | set(cfg.column_mask or {})
+                | set(cfg.column_mask_hash or {})
+            )
+            bad = named & set(KEY_COLS)
+            if bad:
+                raise ValueError(
+                    f"column transforms must not touch key columns "
+                    f"{sorted(bad)}"
+                )
+            strs = {
+                f.name
+                for f in schema.fields
+                if f.dataType.simpleString() == "string"
+            }
+            have = lambda d: {  # noqa: E731
+                k: v for k, v in (d or {}).items() if k in strs
+            }
+            typed = mask_envelope_images(
+                typed,
+                truncate=have(cfg.column_truncate),
+                mask=have(cfg.column_mask),
+                hash_salt=have(cfg.column_mask_hash),
+            )
         if fmt == "raw":
             return _shape.raw(typed).orderBy(F.col("value.lsn"))
         out = (
@@ -321,9 +384,15 @@ def stream_rows(
     try:
         deadline = None
         while True:
-            epochs = plan_epochs(
-                spark, cfg.log_dir, last_drained, cfg.max_events_per_batch
-            )
+            try:
+                epochs = plan_epochs(
+                    spark, cfg.log_dir, last_drained, cfg.max_events_per_batch
+                )
+            except FileNotFoundError:
+                # connector-first deployment: the producer hasn't
+                # created the log dir yet — poll like an empty log
+                # (log_high_water_mark above tolerates the same)
+                epochs = []
             for ep in epochs:
                 events = filter_events(
                     cfg,

@@ -477,6 +477,36 @@ def test_snapshot_mode_schema_only_streams_from_start_position(
     assert _final_hashes(spark, table_dir) == golden_key_hashes(tail)
 
 
+def test_schema_only_empty_log_first_start_pins_durably(
+    spark, log_dir, tmp_path
+):
+    """Connector-first deployment: SCHEMA_ONLY starts BEFORE the
+    producer wrote anything. The first start must durably record the
+    pin even at hwm=-1 (schema_only_pinned marker) — otherwise the
+    next run would re-derive the then-current hwm and silently skip
+    every event that arrived in the gap (data loss)."""
+    staged = str(tmp_path / "staged_log")
+    os.makedirs(staged)  # the log exists but is EMPTY at first start
+    table_dir = str(tmp_path / "tbl")
+    cfg = EngineConfig(
+        log_dir=staged,
+        table_dir=table_dir,
+        max_events_per_batch=1_000,
+        snapshot_mode="SCHEMA_ONLY",
+    )
+    out = run(spark, cfg)
+    assert out["batches_applied"] == 0
+    props = LakeTable(spark, table_dir).current().properties
+    assert props.get("schema_only_pinned") is True
+    assert int(props["last_lsn"]) == -1
+
+    _copy_buckets(log_dir, staged, lambda b: True)  # producer catches up
+    run(spark, cfg)
+    log_pdf = read_log_pandas(log_dir)
+    stream = log_pdf[log_pdf["op"] != "r"]  # all post-start, none skipped
+    assert _final_hashes(spark, table_dir) == golden_key_hashes(stream)
+
+
 def test_snapshot_mode_no_data_alias_and_rerun_noop(spark, log_dir, tmp_path):
     """NO_DATA is the reference's newer name for SCHEMA_ONLY; against a
     fully-written log a first run pins hwm = end-of-log (empty table)

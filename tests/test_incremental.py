@@ -232,3 +232,28 @@ def test_plan_chunks_grouping(spark, tmp_path, dump):
     assert [c["files"] for c in chunks] == [
         c["files"] for c in plan_chunks(src, 1)
     ]
+
+
+def test_incremental_chunks_apply_column_transforms(
+    spark, log_dir, dump, tmp_path
+):
+    """Capture-side masking covers the bootstrap chunks too: the
+    config's contract is "masked values never reach the lake" on
+    EVERY ingest path, and chunk rows ARE snapshot rows."""
+    cfg = _cfg(
+        log_dir,
+        dump,
+        str(tmp_path / "tbl"),
+        column_truncate={"content": 6},
+    )
+    run(spark, cfg)
+    t = LakeTable(spark, cfg.table_dir)
+    over = t.read().filter(F.length("content") > 6).count()
+    assert over == 0  # no plaintext beyond the truncation anywhere
+    import hashlib
+
+    row = t.read().filter(F.col("content").isNotNull()).first()
+    assert (
+        row["content_sha256"]
+        == hashlib.sha256(row["content"].encode()).hexdigest()
+    )

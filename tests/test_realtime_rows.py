@@ -126,3 +126,32 @@ def test_on_stop_commit_mode(spark, log_dir, tmp_path):
     gen.close()
     committed = json.loads(open(ck).read())["last_lsn"]
     assert 0 < committed < SPEC.n_events - 1  # last DRAINED epoch only
+
+
+def test_stream_rows_applies_column_transforms(spark, log_dir, tmp_path):
+    """Per-row delivery masks too (Debezium masks in the connector,
+    upstream of the trigger): emitted images never carry plaintext of
+    a masked column, deletes' before images included."""
+    cfg = _cfg(log_dir, tmp_path, column_mask={"lang": 2},
+               column_truncate={"content": 5})
+    rows = []
+    for r in stream_rows(spark, cfg, str(tmp_path / "ck.json")):
+        rows.append(r)
+        if len(rows) >= 50:
+            break
+    assert all(
+        r["lang"] in (None, "**") and
+        (r["content"] is None or len(r["content"]) <= 5)
+        for r in rows
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="key columns"):
+        next(
+            stream_rows(
+                spark,
+                _cfg(log_dir, tmp_path, column_mask={"repo": 2}),
+                str(tmp_path / "ck2.json"),
+            )
+        )

@@ -337,3 +337,52 @@ def test_cadence_maintenance_race_does_not_kill_stream(
         .collect()
     }
     assert got == golden_key_hashes(read_log_pandas(log))
+
+
+def test_streaming_schema_only_pins_start_position(spark, tmp_path):
+    """stream_log honors SCHEMA_ONLY/NO_DATA positionally (engine
+    parity): historical stream events below the pinned hwm are
+    skipped, not just op='r' rows; events arriving after first start
+    apply."""
+    import os
+    import shutil
+
+    full = write_log(spark, str(tmp_path / "full"), SPEC)
+    staged = str(tmp_path / "log")
+    os.makedirs(staged)
+    names = sorted(
+        n for n in os.listdir(full) if n.startswith("lsn_bucket=")
+    )
+    split = 40
+    for n in names:
+        if int(n.split("=")[1]) < split:
+            shutil.copytree(f"{full}/{n}", f"{staged}/{n}")
+    cfg = EngineConfig(
+        log_dir=staged,
+        table_dir=str(tmp_path / "tbl"),
+        snapshot_mode="SCHEMA_ONLY",
+        write_metrics=False,
+    )
+    ck = str(tmp_path / "ckpt")
+    run_available_now(spark, cfg, ck)
+    t = LakeTable(spark, cfg.table_dir)
+    assert t.read().count() == 0  # nothing historical applied
+    pdf = read_log_pandas(full)
+    hwm = int(pdf[pdf["lsn_bucket"] < split]["lsn"].max())
+    props = t.current().properties
+    pin_keys = [k for k in props if k.startswith("schema_only_pin:")]
+    assert pin_keys and int(props[pin_keys[0]]) == hwm  # durable pin
+
+    for n in names:
+        if int(n.split("=")[1]) >= split:
+            shutil.copytree(f"{full}/{n}", f"{staged}/{n}")
+    run_available_now(spark, cfg, ck)
+    tail = pdf[(pdf["lsn"] > hwm) & (pdf["op"] != "r")]
+    got = {
+        tuple(r)
+        for r in LakeTable(spark, cfg.table_dir)
+        .read()
+        .select("repo", "path", "commit", "content_sha256")
+        .collect()
+    }
+    assert got == golden_key_hashes(tail)
