@@ -18,13 +18,14 @@ ratio and the planted-dup recall of the incremental pass.
 Usage: python tools/ab_incremental.py [n_base] [n_delta] [cores]
 Defaults: 400_000 base / 20_000 delta / 16 cores.
 
-Measured (round 6, defaults, healthy probes — canary 0.25-0.28 s,
-membw 2.15-2.37 GB/s): delta_increment 59.6 s vs full_recuration
-381.6 s (ratio 0.156, ~6.4x) with 2000/2000 planted delta dups
-removed against the persisted index; the one-time base state build
-cost 786 s (≈2x a plain curate of the same corpus — the price of
-persisting the hash set + LSH index — repaid from the first delta
-cycle onward).
+Measured (round 6, defaults): delta_increment 59.6 s vs
+full_recuration 381.6 s (ratio 0.156) with 2000/2000 planted delta
+dups removed, healthy probes; after the 1x-minhash fix (sign the
+batch once, derive probe/pairs/state-append from the same signature
+frame) the delta re-measured **27.4 s (ratio 0.07, ~14x)** with
+byte-identical survivor stats. One-time base state build 786 s (≈2x a
+plain curate — the price of persisting the hash set + LSH index —
+repaid from the first delta cycle onward).
 """
 
 from __future__ import annotations
