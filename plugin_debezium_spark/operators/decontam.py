@@ -68,11 +68,18 @@ def ngram_overlap(
         .filter(F.col("_sh").isNotNull())
         .distinct()
     )
-    per_doc = d_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    hits = (
-        d_sh.join(c_sh, "_sh")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("contam_hits"))
+    # ONE pass over the doc shingles: a LEFT join against the distinct
+    # contamination set (≤1 match per row, so multiplicities are
+    # preserved) lets the total count and the hit count ride the same
+    # aggregate — the previous per_doc/hits split evaluated the
+    # explode+distinct subtree twice (no cross-DAG CSE) and joined the
+    # two aggregates back together.
+    marked = d_sh.join(
+        c_sh.withColumn("_hit", F.lit(1)), "_sh", "left"
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.count("_hit").alias("contam_hits"),
     )
     # join counts back onto the full doc-id spine: a NULL/empty text
     # column explodes to zero shingle rows, and without the spine such
@@ -82,7 +89,6 @@ def ngram_overlap(
     return (
         docs.select(id_col)
         .join(per_doc, id_col, "left")
-        .join(hits, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_shingles", F.lit(0).cast("long")).alias(

@@ -45,14 +45,23 @@ def ngram_lm_freq(
     - ``n_common``  — occurrences whose gram appears ≥2 times in the
       corpus (the CCNet "seen elsewhere" share numerator)
     """
+    from pyspark.sql.window import Window
+
     grams = docs.select(
         F.col(id_col),
         F.explode(F.expr(word_shingles_expr(text_col, n))).alias("_g"),
     )
     dg = grams.groupBy(id_col, "_g").agg(F.count("*").alias("_k"))
-    cf = dg.groupBy("_g").agg(F.sum("_k").alias("_cf"))
+    # corpus frequency as a window sum over the pre-aggregate: the
+    # previous groupBy(_g)+join formulation evaluated the whole
+    # explode+pre-aggregate subtree TWICE (Spark does no cross-DAG
+    # CSE) and paid a join exchange on top — the window computes the
+    # same per-gram total in one pass over dg with one exchange.
+    # Partition size is bounded by distinct (doc, gram) rows per gram,
+    # the same bound the join's build side had.
+    cf = F.sum("_k").over(Window.partitionBy("_g"))
     return (
-        dg.join(cf, "_g")
+        dg.withColumn("_cf", cf)
         .groupBy(id_col)
         .agg(
             F.sum("_k").cast("long").alias("n_ngrams"),

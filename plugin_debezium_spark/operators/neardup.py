@@ -264,15 +264,33 @@ def minhash_lsh_candidates(
     would drop with lsh_bucket_stats(). None (default) = exact."""
     banded = _band_buckets(sigs, id_col, n_perms, bands)
     if max_bucket_size is not None:
-        # aggregate (not window): bucket sizes with map-side combine,
-        # then a broadcast-able semi filter of small buckets
-        sizes = banded.groupBy("band", "bucket").agg(
-            F.count("*").alias("_n")
+        # Capped path: one groupBy((band, bucket)) collecting the
+        # member ids, pairs unrolled from the sorted array. vs the
+        # former sizes-aggregate + semi-filter + self-join: the whole
+        # signature subtree evaluates ONCE instead of three times (no
+        # cross-DAG CSE) and two exchanges drop. The member arrays
+        # are bounded by the cap, so the per-group unroll can never
+        # blow up — which is exactly why the UNCAPPED path below keeps
+        # the streaming self-join instead (a degenerate bucket of m
+        # members would otherwise materialize one m²/2-element array
+        # value in a single aggregation buffer).
+        grp = (
+            banded.groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+            .filter(F.size("_ids") <= max_bucket_size)
         )
-        keep = sizes.filter(F.col("_n") <= max_bucket_size).select(
-            "band", "bucket"
+        pairs = grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ids, (x, i) -> "
+                    "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
+                    "y -> named_struct('id_a', x, 'id_b', y))))"
+                )
+            ).alias("_pr")
+        ).select("_pr.id_a", "_pr.id_b")
+        return pairs.groupBy("id_a", "id_b").agg(
+            F.count("*").alias("n_bands")
         )
-        banded = banded.join(keep, ["band", "bucket"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -345,45 +363,72 @@ def ngram_jaccard_pairs(
             F.array_distinct(F.expr(word_shingles_expr(text_col, shingle_words)))
         ).alias("shingle"),
     )
-    counts = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # Per-doc distinct-shingle count rides a window over the SAME
+    # frame instead of a separate groupBy(id)+two joins after pair
+    # generation: the former shape evaluated the explode subtree once
+    # more (no cross-DAG CSE) and added two join exchanges to attach
+    # n_a/n_b. Computed BEFORE any doc-frequency filter (counts stay
+    # exact, as documented) and before the null filter (a NULL-text
+    # doc's single null-shingle row counts, matching the old
+    # groupBy over the unfiltered frame).
+    sh = shingles.withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy(id_col))
+    )
     if max_doc_freq is not None:
-        rare = (
-            shingles.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_doc_freq)
-            .select("shingle")
+        # Capped path: global doc frequency as a second window (the
+        # former df-aggregate + semi-join evaluated the explode subtree
+        # yet again), then pairs unrolled from per-(group, shingle)
+        # member arrays — bounded by the cap, so the unroll can't blow
+        # up, and the whole plan evaluates the explode exactly once.
+        sh = sh.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("_df") <= max_doc_freq)
+        grp_keys = ([group_col] if group_col else []) + ["shingle"]
+        grp = sh.filter(F.col("shingle").isNotNull()).groupBy(
+            *grp_keys
+        ).agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), "n_sh"))
+            ).alias("_ds")
         )
-        shingles = shingles.join(rare, "shingle", "left_semi")
-    a, b = shingles.alias("a"), shingles.alias("b")
-    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
-        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    )
-    if group_col:
-        cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
-    inter = (
-        a.join(b, cond)
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        pairs = grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ds, (x, i) -> "
+                    "transform(slice(_ds, i + 2, size(_ds) - i - 1), "
+                    "y -> named_struct('id_a', x.i, 'n_a', x.n_sh, "
+                    "'id_b', y.i, 'n_b', y.n_sh))))"
+                )
+            ).alias("_pr")
+        ).select("_pr.*")
+        inter = pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(
+            F.count("*").alias("n_inter")
         )
-        .agg(F.count("*").alias("n_inter"))
-    )
-    ca = counts.select(
-        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
-    )
-    cb = counts.select(
-        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
-    )
-    out = (
-        inter.join(ca, "id_a")
-        .join(cb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+    else:
+        # Uncapped path keeps the streaming self-join (a degenerate
+        # stop-shingle of m docs would materialize an m-element array
+        # per group under the unroll — the join streams it instead);
+        # n_a/n_b ride the join sides, so the count join is gone.
+        a, b = sh.alias("a"), sh.alias("b")
+        cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
+        if group_col:
+            cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+        inter = (
+            a.join(b, cond)
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.n_sh").alias("n_a"),
+                F.col("b.n_sh").alias("n_b"),
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
+    out = inter.withColumn(
+        "jaccard",
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+    ).filter(F.col("jaccard") >= threshold)
     return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
 
 

@@ -1210,7 +1210,13 @@ def cdc_binlog_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
         envelopes_from_value_json,
     )
 
-    env = envelopes_from_events(spark, sf_dir)
+    # the events scan is one small file → 1 task; spread BEFORE the
+    # wire-doc projection so the to_json generation AND the per-row
+    # parse both run across the cluster (repartitioning after the
+    # select left the to_json in the serial scan stage — r07)
+    env = envelopes_from_events(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     file_seq = (F.col("lsn") / 997).cast("long") + 1
     pos = F.pmod(F.col("lsn"), F.lit(997)) + 4
     image = F.struct("repo", "path", "commit", "lang", "content")
@@ -1233,12 +1239,7 @@ def cdc_binlog_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("source"),
         )
     )
-    # the events scan is one small file → 1 task; spread the per-row
-    # parse work across the cluster before it runs (at production
-    # scale the dump is already many files and this is a no-op choice)
-    wire = env.select(doc.alias("_raw")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    wire = env.select(doc.alias("_raw"))
     parsed = envelopes_from_value_json(wire, "_raw")
     return _wire_final_state(parsed)
 
@@ -1255,7 +1256,11 @@ def cdc_resume_token_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         envelopes_from_value_json,
     )
 
-    env = envelopes_from_events(spark, sf_dir)
+    # spread before the wire-doc projection (same rationale as
+    # cdc_binlog_rotation: parallelize to_json AND the parse)
+    env = envelopes_from_events(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     token = F.lpad(F.hex(F.col("lsn")), 12, "0")
     ts = (F.col("lsn") / 50).cast("long")
     image = F.struct("repo", "path", "commit", "lang", "content")
@@ -1274,9 +1279,7 @@ def cdc_resume_token_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("source"),
         )
     )
-    wire = env.select(doc.alias("_raw")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    wire = env.select(doc.alias("_raw"))
     parsed = envelopes_from_value_json(
         wire, "_raw", order_token_field="resume_token"
     )

@@ -353,8 +353,30 @@ def envelopes_from_value_json(
         # payload — carried verbatim so typed_envelopes can drive the
         # connect_cast lattice with it
         cols.append(F.col(schema_col).alias("schema_json"))
-    return df.select(*cols).filter(
-        F.col("lsn").isNotNull() & F.col("op").isNotNull()
+    # The malformed-row drop must evaluate the MATERIALIZED lsn/op
+    # columns, not sink below this projection: PushDownPredicates
+    # substitutes projection expressions into a pushed filter, and
+    # since lsn/op are coalesce chains over the parsed shell, the
+    # substituted predicate materialized ~40 independent copies of
+    # the from_json parse in the scan-stage filter — evaluated in the
+    # SERIAL scan task on single-file inputs (r07 plan audit; the
+    # wire queries spent their whole wall there). A filter is only
+    # pushed through a Project whose fields are ALL deterministic
+    # (PushPredicateThroughNonJoin), so a throwaway rand() column
+    # pins it — and the filter must REFERENCE that column (an
+    # always-true >= -1 arm) or ColumnPruning deletes it and the
+    # barrier with it. The filter condition itself stays a
+    # deterministic tree of column references, so the stateful-expr-
+    # in-fallback-Predicate NPE (CLAUDE.md) can't bite, and a task
+    # retry drawing different rand values can't change the result.
+    return (
+        df.select(*cols, F.rand().alias("_pushdown_barrier"))
+        .filter(
+            F.col("lsn").isNotNull()
+            & F.col("op").isNotNull()
+            & (F.col("_pushdown_barrier") >= F.lit(-1.0))
+        )
+        .drop("_pushdown_barrier")
     )
 
 
