@@ -162,7 +162,14 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plugin_debezium_spark.streaming.engine import EngineConfig, run
 
     env = envelopes_from_events(spark, sf_dir)
-    log = env.select(
+    # spread the one-task events scan by log bucket BEFORE the wire
+    # projection: the to_json doc-gen and the partitionBy write then
+    # run across the cluster instead of serially inside the single
+    # scan task, and each bucket still lands in exactly one file (r07)
+    log = env.repartition(
+        spark.sparkContext.defaultParallelism,
+        (F.col("lsn") / 2500).cast("long"),
+    ).select(
         "lsn",
         "ts_ms",
         "op",
@@ -230,7 +237,14 @@ def cdc_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plugin_debezium_spark.streaming.engine import EngineConfig, run
 
     env = envelopes_from_events(spark, sf_dir)
-    log = env.select(
+    # spread the one-task events scan by log bucket BEFORE the wire
+    # projection: the to_json doc-gen and the partitionBy write then
+    # run across the cluster instead of serially inside the single
+    # scan task, and each bucket still lands in exactly one file (r07)
+    log = env.repartition(
+        spark.sparkContext.defaultParallelism,
+        (F.col("lsn") / 2500).cast("long"),
+    ).select(
         "lsn",
         "ts_ms",
         "op",
@@ -301,7 +315,14 @@ def cdc_replay_snapshot_never(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("op") == "c") & (F.col("lsn") < F.lit(q1)), F.lit("r")
         ).otherwise(F.col("op")),
     )
-    log = env.select(
+    # spread the one-task events scan by log bucket BEFORE the wire
+    # projection: the to_json doc-gen and the partitionBy write then
+    # run across the cluster instead of serially inside the single
+    # scan task, and each bucket still lands in exactly one file (r07)
+    log = env.repartition(
+        spark.sparkContext.defaultParallelism,
+        (F.col("lsn") / 2500).cast("long"),
+    ).select(
         "lsn",
         "ts_ms",
         "op",
@@ -368,7 +389,14 @@ def cdc_replay_snapshot_only(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("op") == "c") & (F.col("lsn") < F.lit(q1)), F.lit("r")
         ).otherwise(F.col("op")),
     )
-    log = env.select(
+    # spread the one-task events scan by log bucket BEFORE the wire
+    # projection: the to_json doc-gen and the partitionBy write then
+    # run across the cluster instead of serially inside the single
+    # scan task, and each bucket still lands in exactly one file (r07)
+    log = env.repartition(
+        spark.sparkContext.defaultParallelism,
+        (F.col("lsn") / 2500).cast("long"),
+    ).select(
         "lsn",
         "ts_ms",
         "op",
@@ -461,7 +489,14 @@ def cdc_replay_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # change log: stream events only (the engine starts at S; pre-S
     # events are already reflected in the dump)
-    log = env.select(
+    # spread the one-task events scan by log bucket BEFORE the wire
+    # projection: the to_json doc-gen and the partitionBy write then
+    # run across the cluster instead of serially inside the single
+    # scan task, and each bucket still lands in exactly one file (r07)
+    log = env.repartition(
+        spark.sparkContext.defaultParallelism,
+        (F.col("lsn") / 2500).cast("long"),
+    ).select(
         "lsn",
         "ts_ms",
         "op",
@@ -528,7 +563,14 @@ def cdc_replay_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     env = envelopes_from_events(spark, sf_dir)
     cut = int(env.agg(F.max("lsn")).collect()[0][0]) // 2
-    log = env.select(
+    # spread the one-task events scan by log bucket BEFORE the wire
+    # projection: the to_json doc-gen and the partitionBy write then
+    # run across the cluster instead of serially inside the single
+    # scan task, and each bucket still lands in exactly one file (r07)
+    log = env.repartition(
+        spark.sparkContext.defaultParallelism,
+        (F.col("lsn") / 2500).cast("long"),
+    ).select(
         "lsn",
         "ts_ms",
         "op",
@@ -605,7 +647,14 @@ def cdc_replay_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = envelopes_from_events(spark, sf_dir)
     is_t = (F.col("op") == "d") & (F.pmod(F.col("lsn"), F.lit(5)) == 0)
     null_s = F.lit(None).cast("string")
-    log = env.select(
+    # spread the one-task events scan by log bucket BEFORE the wire
+    # projection: the to_json doc-gen and the partitionBy write then
+    # run across the cluster instead of serially inside the single
+    # scan task, and each bucket still lands in exactly one file (r07)
+    log = env.repartition(
+        spark.sparkContext.defaultParallelism,
+        (F.col("lsn") / 2500).cast("long"),
+    ).select(
         "lsn",
         "ts_ms",
         F.when(is_t, F.lit("t")).otherwise(F.col("op")).alias("op"),
@@ -679,7 +728,14 @@ def cdc_replay_tx_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = envelopes_from_events(spark, sf_dir)
     null_s = F.lit(None).cast("string")
     tx_seq = ((F.col("lsn") + 5) / 10).cast("long")
-    log = env.select(
+    # spread the one-task events scan by log bucket BEFORE the wire
+    # projection: the to_json doc-gen and the partitionBy write then
+    # run across the cluster instead of serially inside the single
+    # scan task, and each bucket still lands in exactly one file (r07)
+    log = env.repartition(
+        spark.sparkContext.defaultParallelism,
+        (F.col("lsn") / 400).cast("long"),
+    ).select(
         "lsn",
         "ts_ms",
         "op",
@@ -768,24 +824,30 @@ def cdc_sqlite_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     con.commit()
     src = SqliteSource(db_path=db)
     install_cdc(src)
+    # Arrow transfer + itertuples: collect() shipped 100k pickled Row
+    # objects and the Row.__getitem__ per field dominated the client
+    # loop (~3s of the cell, r07). The derivation is additionally
+    # spread before the sort; pandas re-sorts by the unique lsn, so
+    # the apply order is identical to the old orderBy+collect.
     events = (
         envelopes_from_events(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("lsn", "op", "repo", "path", "commit", "lang", "content")
-        .orderBy("lsn")
-        .collect()
+        .toPandas()
+        .sort_values("lsn")
     )
     cur = con.cursor()
     cur.execute("BEGIN")
-    for r in events:
-        if r["op"] == "d":
+    for r in events.itertuples(index=False):
+        if r.op == "d":
             cur.execute(
                 'DELETE FROM repofiles WHERE repo=? AND path=? AND "commit"=?',
-                (r["repo"], r["path"], r["commit"]),
+                (r.repo, r.path, r.commit),
             )
         else:
             cur.execute(
                 "INSERT OR REPLACE INTO repofiles VALUES (?,?,?,?,?)",
-                (r["repo"], r["path"], r["commit"], r["lang"], r["content"]),
+                (r.repo, r.path, r.commit, r.lang, r.content),
             )
     cur.execute("COMMIT")
     con.close()
@@ -1315,17 +1377,23 @@ def cdc_replay_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse it (three derivations of one scan otherwise); the merges'
     # writes materialize to parquet, so the cache can be dropped
     # before the diff is returned
-    rows = env.select(
-        "repo",
-        "path",
-        "commit",
-        "lang",
-        "content",
-        F.sha2("content", 256).alias("content_sha256"),
-        F.col("lsn").alias("_lsn"),
-        F.col("ts_ms").alias("_ts_ms"),
-        "op",
-    ).cache()
+    rows = (
+        # spread the one-task events scan so the sha256 projection and
+        # the cache build run across the cluster (r07)
+        env.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            "content",
+            F.sha2("content", 256).alias("content_sha256"),
+            F.col("lsn").alias("_lsn"),
+            F.col("ts_ms").alias("_ts_ms"),
+            "op",
+        )
+        .cache()
+    )
     hi = int(rows.agg(F.max("_lsn")).collect()[0][0])
     t1 = hi // 2
     d = tempfile.mkdtemp(prefix="cdc_diff_")
