@@ -50,11 +50,27 @@ class Dialect:
     """The per-engine surface of trigger-audit capture. Subclasses
     override SQL-text hooks; the capture protocol itself (snapshot
     consistency, offsets, LSN mint, batching) is shared and lives in
-    ``install_cdc`` / ``capture_to_log`` below."""
+    ``install_cdc`` / ``capture_to_log`` below.
+
+    HARD REQUIREMENT (checked per dialect via ``commit_ordered_ids``):
+    the snapshot high-water mark (MAX(id) inside the snapshot txn) and
+    id-ordered tailing are only sound when audit ids become VISIBLE in
+    id order — i.e. the engine serializes writers (SQLite) or the
+    audit id is allocated at commit. On MVCC engines with concurrent
+    writers a row with id <= hwm can commit AFTER the snapshot read
+    (landing in neither snapshot nor tail), and the tail loop can
+    permanently skip a lower id that commits after last_audit has
+    advanced past it. Such engines need a tail lag window / late-id
+    re-scan before the protocol is sound; until a dialect implements
+    that and declares ``commit_ordered_ids = True``,
+    ``capture_to_log`` refuses it (r6 advice)."""
 
     name = "generic"
     audit_table = "_cdc_audit"
     placeholder = "?"  # DB-API paramstyle marker (qmark default)
+    # see the class docstring: only dialects whose audit ids become
+    # visible in id order may run the shared capture protocol
+    commit_ordered_ids = False
 
     # -- connection ----------------------------------------------------
     def connect(self, dsn: str):
@@ -156,6 +172,7 @@ class SqliteDialect(Dialect):
     the consistent snapshot write-block."""
 
     name = "sqlite"
+    commit_ordered_ids = True  # writers serialize: id order == commit order
 
     def connect(self, dsn: str):
         import sqlite3
@@ -467,6 +484,15 @@ def capture_to_log(
     partitioned log; everything downstream is the distributed engine."""
     src.validate()
     d = src.dialect
+    if not d.commit_ordered_ids:
+        raise NotImplementedError(
+            f"{d.name}: audit ids are not known to become visible in "
+            "id order under concurrent writers — the snapshot hwm and "
+            "id-ordered tail would silently skip late-committing rows. "
+            "Implement a tail lag window / late-id re-scan for this "
+            "engine and declare commit_ordered_ids=True (Dialect "
+            "docstring)."
+        )
     n_snap, last_audit = _log_offset(spark, log_dir)
     con = d.connect(src.dsn)
     kc, pc = src.key_cols, src.payload_cols

@@ -851,7 +851,8 @@ def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
     import dataclasses
 
     table = ensure_table(spark, cfg)
-    props = table.current().properties
+    snap = table.current()
+    props = snap.properties
     last_lsn = int(props.get("last_lsn", -1))
     next_epoch = int(props.get("last_epoch_id", -1)) + 1
 
@@ -896,26 +897,40 @@ def _run_inner(spark: SparkSession, cfg: EngineConfig, t0: float) -> dict:
         # per-epoch evolution derives types from envelopes as they
         # stream; there is no live server to interrogate for DDL.
         if last_lsn < 0 and not props.get("schema_only_pinned"):
+            from plugin_debezium_spark.plans.lake import (
+                ConcurrentCommitError,
+            )
             from plugin_debezium_spark.sources.log_reader import (
                 log_high_water_mark,
             )
 
-            hwm = log_high_water_mark(cfg.log_dir)
             # the pin commits even when the log is EMPTY at first
             # start (hwm=-1): last_lsn=-1 is indistinguishable from a
             # fresh table, so the "first start happened" fact needs
             # its own durable marker — otherwise a later run would
             # re-derive a HIGHER hwm and silently skip every event
-            # that arrived in the gap.
-            table.commit(
-                [],
-                set(),
-                properties={
-                    "last_lsn": hwm,
-                    "schema_only_pinned": True,
-                },
-            )
-            last_lsn = hwm
+            # that arrived in the gap. Compare-and-set on the basis
+            # snapshot (r6 advice): two concurrent first starts must
+            # agree on ONE hwm — the loser re-reads and adopts the
+            # winner's pin instead of overwriting it.
+            while last_lsn < 0 and not props.get("schema_only_pinned"):
+                hwm = log_high_water_mark(cfg.log_dir)
+                try:
+                    table.commit(
+                        [],
+                        set(),
+                        properties={
+                            "last_lsn": hwm,
+                            "schema_only_pinned": True,
+                        },
+                        expected_parent=snap.snapshot_id,
+                    )
+                    last_lsn = hwm
+                    break
+                except ConcurrentCommitError:
+                    snap = table.current()
+                    props = snap.properties
+                    last_lsn = int(props.get("last_lsn", -1))
         mode = "NEVER"
 
     applied: list = []

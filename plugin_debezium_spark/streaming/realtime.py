@@ -112,17 +112,32 @@ def stream_log(
     pin = -1
     mode = (cfg.snapshot_mode or "INITIAL").upper()
     if mode in ("SCHEMA_ONLY", "NO_DATA"):
-        pkey = f"schema_only_pin:{ck}"
-        props = table.current().properties
-        if pkey in props:
-            pin = int(props[pkey])
-        else:
-            from plugin_debezium_spark.sources.log_reader import (
-                log_high_water_mark,
-            )
+        from plugin_debezium_spark.plans.lake import ConcurrentCommitError
+        from plugin_debezium_spark.sources.log_reader import (
+            log_high_water_mark,
+        )
 
+        pkey = f"schema_only_pin:{ck}"
+        # compare-and-set on the basis snapshot: two concurrent first
+        # starts must agree on ONE hwm — an unconditional commit would
+        # let the later (higher) derivation overwrite the pin and
+        # silently skip every event that landed in the gap
+        while True:
+            snap = table.current()
+            if pkey in snap.properties:
+                pin = int(snap.properties[pkey])
+                break
             pin = log_high_water_mark(cfg.log_dir)
-            table.commit([], set(), properties={pkey: pin})
+            try:
+                table.commit(
+                    [],
+                    set(),
+                    properties={pkey: pin},
+                    expected_parent=snap.snapshot_id,
+                )
+                break
+            except ConcurrentCommitError:
+                continue  # re-read: the racing writer's pin wins
 
     stream = (
         spark.readStream.schema(envelope_log_schema())
@@ -349,13 +364,26 @@ def stream_rows(
                     f"column transforms must not touch key columns "
                     f"{sorted(bad)}"
                 )
-            strs = {
-                f.name
-                for f in schema.fields
-                if f.dataType.simpleString() == "string"
+            types = {
+                f.name: f.dataType.simpleString() for f in schema.fields
             }
+            # match ingest_transforms' character-column rule: a column
+            # PRESENT in this epoch but typed non-string must fail
+            # loudly, not silently emit unmasked (r6 advice) — only
+            # columns absent from the epoch are skipped (an epoch that
+            # predates an evolved column has nothing to transform yet)
+            non_str = sorted(
+                c for c in named if c in types and types[c] != "string"
+            )
+            if non_str:
+                raise ValueError(
+                    f"column transforms apply to string columns only, "
+                    f"got { {c: types[c] for c in non_str} } — "
+                    "Debezium's truncate/mask/mask.hash are "
+                    "character-column transforms"
+                )
             have = lambda d: {  # noqa: E731
-                k: v for k, v in (d or {}).items() if k in strs
+                k: v for k, v in (d or {}).items() if k in types
             }
             typed = mask_envelope_images(
                 typed,

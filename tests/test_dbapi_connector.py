@@ -211,3 +211,20 @@ def test_server_dialects_generate_ddl_and_refuse_connect():
             d.connect("dsn://nope")
     with pytest.raises(NotImplementedError, match="change-stream"):
         MongoDialect().connect("mongodb://nope")
+
+
+def test_capture_refuses_unordered_id_dialect(spark, tmp_path):
+    """The capture protocol's hard requirement (Dialect docstring):
+    audit ids must become visible in id order, or the snapshot hwm /
+    id-ordered tail can silently skip late-committing rows. A dialect
+    that does not declare commit_ordered_ids is refused up front."""
+
+    class MvccishDialect(QuirkyDialect):
+        name = "mvcc-ish"
+        commit_ordered_ids = False
+
+    db = str(tmp_path / "u.db")
+    _mk_db(db)
+    src = _src(db, dialect=MvccishDialect())
+    with pytest.raises(NotImplementedError, match="id order"):
+        capture_to_log(spark, src, str(tmp_path / "log"))

@@ -763,3 +763,42 @@ def test_max_records_counts_consumed_events_not_winners(
     assert 500 <= out["records"] <= 700
     assert sum(e["n_stream"] for e in out["epochs"]) == out["records"]
     assert all(e["n_stream"] > e["batch_keys"] for e in out["epochs"])
+
+
+def test_schema_only_pin_is_compare_and_set(spark, tmp_path, monkeypatch):
+    """Two concurrent SCHEMA_ONLY first starts must agree on ONE pin:
+    the pin commit passes expected_parent, so a loser whose basis
+    snapshot went stale re-reads and ADOPTS the winner's pin instead
+    of overwriting it with its own (later, possibly higher) hwm —
+    which would silently skip every event in the gap (r6 advice)."""
+    from plugin_debezium_spark.sources import log_reader as lr
+
+    staged = str(tmp_path / "staged_log")
+    os.makedirs(staged)
+    table_dir = str(tmp_path / "tbl")
+    cfg = EngineConfig(
+        log_dir=staged,
+        table_dir=table_dir,
+        max_events_per_batch=1_000,
+        snapshot_mode="SCHEMA_ONLY",
+    )
+    real = lr.log_high_water_mark
+    fired = {"n": 0}
+
+    def racing(log_dir):
+        # between this engine's props read and its pin commit, a
+        # concurrent first start wins the race and pins last_lsn=5
+        if fired["n"] == 0:
+            fired["n"] += 1
+            LakeTable(spark, table_dir).commit(
+                [],
+                set(),
+                properties={"last_lsn": 5, "schema_only_pinned": True},
+            )
+        return real(log_dir)
+
+    monkeypatch.setattr(lr, "log_high_water_mark", racing)
+    out = run(spark, cfg)
+    assert out["batches_applied"] == 0
+    props = LakeTable(spark, table_dir).current().properties
+    assert int(props["last_lsn"]) == 5  # the winner's pin survived

@@ -155,3 +155,19 @@ def test_stream_rows_applies_column_transforms(spark, log_dir, tmp_path):
                 str(tmp_path / "ck2.json"),
             )
         )
+
+
+def test_stream_rows_refuses_nonstring_transform_target(
+    spark, log_dir, tmp_path
+):
+    """ingest_transforms' character-column rule applies to per-row
+    delivery too: a configured transform column PRESENT in the epoch's
+    inferred schema but typed non-string fails loudly instead of
+    silently emitting unmasked (the batch/realtime paths must not
+    diverge on a compliance feature). Columns absent from an epoch are
+    still skipped — size_bytes only exists from the evolution epoch
+    on, and the early epochs must pass through."""
+    cfg = _cfg(log_dir, tmp_path, column_mask={"size_bytes": 2})
+    with pytest.raises(ValueError, match="string columns only"):
+        for _ in stream_rows(spark, cfg, str(tmp_path / "ck3.json")):
+            pass
