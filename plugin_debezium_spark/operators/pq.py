@@ -259,12 +259,27 @@ def train_pq_codebooks(
         base, dim, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col, seed=seed
     )
     spark = df.sparkSession
+    book_rows: dict[tuple[int, int], list[float]] = {
+        (r["sub"], r["cid"]): list(r["codeword"]) for r in books.collect()
+    }
+    books = spark.createDataFrame(
+        [(s, c, v) for (s, c), v in sorted(book_rows.items())],
+        "sub int, cid int, codeword array<double>",
+    )
     for _ in range(iters):
         codes = pq_encode(
             base, books, dim, m=m, ksub=ksub,
             id_col=id_col, vec_col=vec_col, impl="numpy",
         )
-        means = (
+        # per-(sub, cid, component) member mean — the SAME avg
+        # aggregate as before; the m·ksub·dsub result is collected
+        # directly and the codeword arrays assembled driver-side,
+        # dropping the second groupBy (collect_list) and the old↔new
+        # join from every Lloyd round (r07, same treatment as
+        # train_ivf_centroids). Codewords with no members keep their
+        # previous value by not appearing in the collected rows;
+        # lineage stays truncated (fresh local relation per round).
+        rows = (
             codes.join(
                 base.select(
                     F.col(id_col), F.expr(_dcol(vec_col)).alias("_v")
@@ -280,32 +295,16 @@ def train_pq_codebooks(
             )
             .groupBy("sub", "cid", "_i")
             .agg(F.avg("_x").alias("_mean"))
-            .groupBy("sub", "cid")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("_i", "_mean"))
-                ).alias("_ims")
-            )
-            .select(
-                "sub",
-                "cid",
-                F.expr("transform(_ims, s -> s._mean)").alias("codeword"),
-            )
+            .collect()
         )
-        books = (
-            books.alias("old")
-            .join(means.alias("new"), ["sub", "cid"], "left")
-            .select(
-                "sub",
-                "cid",
-                F.coalesce(
-                    F.col("new.codeword"), F.col("old.codeword")
-                ).alias("codeword"),
-            )
-        )
-        # m·ksub rows: materialize driver-side, truncate lineage
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            upd.setdefault((r["sub"], r["cid"]), {})[r["_i"]] = r["_mean"]
+        for key, comps in upd.items():
+            book_rows[key] = [comps[i] for i in sorted(comps)]
         books = spark.createDataFrame(
-            books.collect(), "sub int, cid int, codeword array<double>"
+            [(s, c, v) for (s, c), v in sorted(book_rows.items())],
+            "sub int, cid int, codeword array<double>",
         )
     return books
 

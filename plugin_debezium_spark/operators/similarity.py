@@ -533,16 +533,27 @@ def train_ivf_centroids(
             )
             break
         chosen.append(np.asarray(far["_v"], dtype=np.float64))
-    cent = df.sparkSession.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in enumerate(chosen)],
-        "cid long, centroid array<double>",
+    spark = df.sparkSession
+    cent_rows: dict[int, list[float]] = {
+        i: [float(x) for x in v] for i, v in enumerate(chosen)
+    }
+    cent = spark.createDataFrame(
+        sorted(cent_rows.items()), "cid long, centroid array<double>"
     )
     corpus = base.select(id_col, vec_col)
     for _ in range(iters):
         assigned = ivf_assign(
             corpus, cent, 1, id_col=id_col, vec_col=vec_col, impl="numpy"
         )
-        means = (
+        # per-(cid, component) member mean — the SAME avg aggregate as
+        # before; the k×dim result is collected directly and the
+        # centroid arrays assembled driver-side, dropping the second
+        # groupBy (collect_list), the old↔new join and one exchange
+        # from every Lloyd round (~2.0 → ~1.3 s/round at sf0.1, r07).
+        # Empty cells keep the previous centroid by simply not
+        # appearing in the collected rows. Lineage stays truncated:
+        # each round's cent is a fresh local relation.
+        rows = (
             assigned.select(
                 "cid",
                 F.posexplode(
@@ -551,31 +562,16 @@ def train_ivf_centroids(
             )
             .groupBy("cid", "_i")
             .agg(F.avg("_x").alias("_m"))
-            .groupBy("cid")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("_i", "_m"))
-                ).alias("_ims")
-            )
-            .select(
-                "cid",
-                F.expr("transform(_ims, s -> s._m)").alias("centroid"),
-            )
+            .collect()
         )
-        # empty cells keep the previous centroid
-        cent = (
-            cent.alias("old")
-            .join(means.alias("new"), "cid", "left")
-            .select(
-                "cid",
-                F.coalesce(
-                    F.col("new.centroid"), F.col("old.centroid")
-                ).alias("centroid"),
-            )
+        upd: dict[int, dict[int, float]] = {}
+        for r in rows:
+            upd.setdefault(r["cid"], {})[r["_i"]] = r["_m"]
+        for cid, comps in upd.items():
+            cent_rows[cid] = [comps[i] for i in sorted(comps)]
+        cent = spark.createDataFrame(
+            sorted(cent_rows.items()), "cid long, centroid array<double>"
         )
-        cent = cent.sparkSession.createDataFrame(
-            cent.collect(), "cid long, centroid array<double>"
-        )  # k×dim rows: materialize driver-side, truncate lineage
     return cent
 
 
