@@ -433,8 +433,12 @@ def emb_topk_lsh(spark, sf_dir):
     e = _embs(spark, sf_dir)
     dim = len(e.select("embedding").first()[0])
     assert dim == _EMB_DIM, f"oracle is generated for dim={_EMB_DIM}"
+    # NOT spread: the signature pass is a tiny integer matmul, so the
+    # spread exchange is pure overhead relative to the work — measured
+    # 0.78 vs 1.0 s healthy but 2.8 vs 1.35 s inside a degraded window
+    # (the exchange is page-touch-bound, the matmul is not; r07)
     return lsh_topk(
-        _spread(e.filter(F.col("vec_id") >= 5)),
+        e.filter(F.col("vec_id") >= 5),
         e.filter(F.col("vec_id") < 5),
         dim=dim,
         k=3,
