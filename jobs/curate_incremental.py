@@ -166,10 +166,30 @@ def curate_increment(
     # -- 2. exact dedup vs persisted hash set, then within batch -----
     hashes_path = os.path.join(state_dir, "hashes")
     seen_hashes = _read_state(
-        spark, hashes_path, "text_sha256 string", to_snap
+        spark, hashes_path, "text_sha256 string, _did string", to_snap
     )
     hashed = kept.withColumn("text_sha256", F.sha2(F.col(text_col), 256))
-    fresh = hashed.join(seen_hashes, "text_sha256", "left_anti")
+    # a sha seen under the SAME doc identity is a survivor/no-op: a
+    # touch-update re-presenting a doc's own curated content must not
+    # tombstone it out of the curated table (r6 advice — the state was
+    # content-keyed only, so a no-op source UPDATE permanently evicted
+    # the doc). Only a sha seen under a DIFFERENT identity — or a
+    # legacy state row predating the identity column (null _did, the
+    # conservative old behavior) — evicts.
+    conflicts = (
+        hashed.select("_did", "text_sha256")
+        .join(
+            seen_hashes.withColumnRenamed("_did", "_seen_did"),
+            "text_sha256",
+        )
+        .filter(
+            F.col("_seen_did").isNull()
+            | (F.col("_seen_did") != F.col("_did"))
+        )
+        .select("_did")
+        .distinct()
+    )
+    fresh = hashed.join(conflicts, "_did", "left_anti")
     batch_reps = fresh.groupBy("text_sha256").agg(F.min("_did").alias("_did"))
     fresh = fresh.join(batch_reps, ["text_sha256", "_did"], "left_semi")
     fresh = fresh.cache()
@@ -197,6 +217,10 @@ def curate_increment(
         id_col="_did",
         max_bucket_size=max_bucket_size,
         new_sigs=sigs,
+        # same self-exemption as the exact path: a doc's own index
+        # rows (from its prior curated version) must not flag its
+        # near-identical update as a duplicate of itself
+        exclude_self=True,
         **lsh_kw,
     ).select("_did")
     surv = fresh.join(flagged, "_did", "left_anti")
@@ -257,9 +281,14 @@ def curate_increment(
     )
     stats["curated_skipped"] = bool(out.get("skipped", False))
 
-    # -- 5. append monotone state (idempotent per-batch subdirs) ------
+    # -- 5. append monotone state (idempotent per-batch subdirs).
+    # Surviving self-matches re-present (sha, _did) / band rows the
+    # state already holds — anti-join them away so the monotone state
+    # stays a SET under touch-update workloads instead of growing one
+    # duplicate row per re-presentation
     (
-        surv.select("text_sha256")
+        surv.select("text_sha256", "_did")
+        .join(seen_hashes, ["text_sha256", "_did"], "left_anti")
         .write.mode("overwrite")
         .parquet(os.path.join(hashes_path, f"batch={to_snap}"))
     )
@@ -272,6 +301,7 @@ def curate_increment(
             lsh_perms,
             lsh_bands,
         )
+        .join(index, ["_did", "band", "bucket"], "left_anti")
         .write.mode("overwrite")
         .parquet(os.path.join(index_path, f"batch={to_snap}"))
     )

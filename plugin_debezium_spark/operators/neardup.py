@@ -154,12 +154,21 @@ def dedup_against_index(
     shingle_words: int = 3,
     max_bucket_size: int | None = None,
     new_sigs: DataFrame | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """DIRECTIONAL near-dup: flag each NEW doc that LSH-collides with
     the existing corpus index (first-occurrence-wins dedup, the greedy
     semantics a streaming curation pipeline needs — the batch analogue
     of streaming/stateful.py's first-occurrence operator, with
     near-dup instead of exact-key identity).
+
+    ``exclude_self=True`` ignores collisions where the index id equals
+    the probing doc's own id: a CDC pipeline whose doc identities are
+    stable (curate_incremental) re-presents a doc on every source
+    UPDATE, and its own index rows must not flag its near-identical
+    new version as a duplicate of itself (it is a survivor/no-op).
+    Default False — batch pipelines with disjoint index/batch id sets
+    are unaffected.
 
     Returns (id, first_match, n_bands_hit): the smallest colliding
     index id (deterministic representative) and how many of the new
@@ -191,11 +200,12 @@ def dedup_against_index(
             "band", "bucket"
         )
         idx = idx.join(keep, ["band", "bucket"], "left_semi")
-    hits = nb.alias("n").join(
-        idx.alias("i"),
-        (F.col("n.band") == F.col("i.band"))
-        & (F.col("n.bucket") == F.col("i.bucket")),
+    cond = (F.col("n.band") == F.col("i.band")) & (
+        F.col("n.bucket") == F.col("i.bucket")
     )
+    if exclude_self:
+        cond = cond & (F.col(f"i.{id_col}") != F.col(f"n.{id_col}"))
+    hits = nb.alias("n").join(idx.alias("i"), cond)
     return hits.groupBy(F.col(f"n.{id_col}").alias(id_col)).agg(
         F.min(F.col(f"i.{id_col}")).alias("first_match"),
         F.countDistinct(F.col("n.band")).cast("long").alias("n_bands_hit"),

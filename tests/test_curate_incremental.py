@@ -198,3 +198,52 @@ def test_insert_only_matches_single_shot(spark, tmp_path):
 
     assert _curated_paths(spark, state_a) == _curated_paths(spark, state_b)
     assert _curated_paths(spark, state_a) == {"A", "D", "F"}
+
+
+def test_touch_update_does_not_evict_own_doc(spark, tmp_path):
+    """A source UPDATE that re-presents a doc's own curated content
+    (identical, or near-identical under LSH) is a survivor/no-op, not
+    a duplicate: the content-keyed state must not tombstone the doc
+    out of the curated table (r6 advice). True duplicates under a
+    DIFFERENT doc identity still evict."""
+    src = _src(spark, tmp_path)
+    state = str(tmp_path / "state")
+    merge_batch(
+        src,
+        _batch(spark, [("r", "A", "c1", GOOD_A, "c"),
+                       ("r", "D", "c1", GOOD_D, "c")]),
+        epoch_id=0,
+        last_lsn=2,
+    )
+    curate_increment(spark, src, state, **KW)
+    assert _curated_paths(spark, state) == {"A", "D"}
+
+    # epoch 1: A touch-updated with IDENTICAL content (exact
+    # self-match), D updated with a last-word edit (both LSH bands
+    # still collide with D's own index rows — near-dup self-match),
+    # E a true exact dup of A under a different identity
+    merge_batch(
+        src,
+        _batch(spark, [
+            ("r", "A", "c1", GOOD_A, "u"),
+            ("r", "D", "c1", GOOD_D.replace("pipelines", "flows"), "u"),
+            ("r", "E", "c1", GOOD_A, "c"),
+        ]),
+        epoch_id=1,
+        last_lsn=5,
+    )
+    s2 = curate_increment(spark, src, state, **KW)
+    assert s2["survivors"] == 2          # A and D survive their updates
+    assert _curated_paths(spark, state) == {"A", "D"}  # E evicted
+    # the curated D carries the NEW content
+    d = (
+        LakeTable(spark, os.path.join(state, "curated"))
+        .read().filter("path = 'D'").select("content").collect()[0][0]
+    )
+    assert "flows" in d
+    # the monotone state stayed a SET: re-presented (sha, _did) pairs
+    # were not appended twice
+    h = spark.read.parquet(os.path.join(state, "hashes")).select(
+        "text_sha256", "_did"
+    )
+    assert h.count() == h.distinct().count()
